@@ -1,0 +1,336 @@
+"""Host-side IPM driver: termination, failure handling, checkpointing.
+
+The device does one full predictor-corrector iteration per jitted call
+(:mod:`.step`); this loop mirrors `ClusteredLowRankSolver.jl/src/solver.jl`:
+kwargs and defaults (solver.jl:100-128), termination (:921-950), error codes
+0-4 (:334,364,378,474,622), the iteration table (:288-292,566-582),
+checkpointing via SaveSettings (:14-40,497-528), and warm starts (:202-239).
+"""
+
+from __future__ import annotations
+
+import pickle
+import time as _time
+from typing import Optional
+
+import numpy as np
+
+from ..compile.sdp import ClusteredLowRankSDP
+from ..model.problem import Block, Problem
+from ..utils.hp import DDScalar
+from .status import (DualFeasible, DualSolution, Feasible, NearOptimal,
+                     NotConverged, Optimal, PrimalFeasible, PrimalSolution)
+from .step import DeviceSDP, initial_state, make_assess, make_step
+
+__all__ = ["solvesdp", "SolverFailure", "SaveSettings"]
+
+
+class SolverFailure(Exception):
+    pass
+
+
+class SaveSettings:
+    """Checkpoint settings (solver.jl:14-40)."""
+
+    def __init__(self, iter_interval=None, time_interval=None, only_last=True,
+                 save_name=None, callback=None):
+        if save_name is None:
+            save_name = "solution" if only_last else "solution#"
+        if (not only_last and "#" not in save_name
+                and (iter_interval or time_interval or callback)):
+            save_name += "#"
+        self.iter_interval = iter_interval
+        self.time_interval = time_interval
+        self.only_last = only_last
+        self.save_name = save_name
+        self.callback = callback
+
+
+def solvesdp(problem, *, prec=None, maxiterations=500,
+             beta_infeasible=0.3, beta_feasible=0.1, gamma=0.9,
+             omega_p=1e10, omega_d=1e10,
+             duality_gap_threshold=1e-15,
+             dual_error_threshold=1e-30, primal_error_threshold=1e-30,
+             max_complementary_gap=1e100,
+             need_dual_feasible=False, need_primal_feasible=False,
+             verbose=True, step_length_threshold=1e-7,
+             dualsol: Optional[DualSolution] = None,
+             primalsol: Optional[PrimalSolution] = None,
+             safe_step=True, correctoronly=False,
+             save_settings: Optional[SaveSettings] = None,
+             preprocess=True, testing=False):
+    """Solve; returns (status, dualsol, primalsol, solve_time, errorcode).
+
+    `prec` is accepted for API parity; the device precision is fixed
+    double-word float64 (~106 bits).
+    """
+    if isinstance(problem, Problem):
+        sdp = ClusteredLowRankSDP(problem)
+    else:
+        sdp = problem
+    if preprocess:
+        from ..compile.preprocess import preprocess_sdp
+        sdp, post = preprocess_sdp(sdp, verbose=verbose)
+    else:
+        post = None
+
+    ds = DeviceSDP(sdp)
+    step = make_step(ds, gamma=gamma, beta_feasible=beta_feasible,
+                     beta_infeasible=beta_infeasible,
+                     dual_error_threshold=dual_error_threshold,
+                     primal_error_threshold=primal_error_threshold,
+                     safe_step=safe_step, correctoronly=correctoronly)
+    assess = make_assess(ds)
+
+    state = initial_state(ds, float(omega_p), float(omega_d))
+    if dualsol is not None and primalsol is not None:
+        state = _warm_start(ds, sdp, state, dualsol, primalsol)
+
+    info0 = {k: float(v) for k, v in assess(state).items()}
+    dual_error = info0["dual_error"]
+    primal_error = info0["primal_error"]
+    dual_gap = info0["dual_gap"]
+    mu = info0["mu"]
+    d_obj, p_obj = info0["d_obj"], info0["p_obj"]
+    pd_feas = (dual_error < dual_error_threshold
+               and primal_error < primal_error_threshold)
+
+    if verbose:
+        print(f"{'iter':>5} {'time(s)':>8} {'mu':>11} {'D-obj':>11} "
+              f"{'P-obj':>11} {'gap':>10} {'D-error':>10} {'d-error':>10} "
+              f"{'p-error':>10} {'a_d':>10} {'a_p':>10} {'beta':>10}")
+
+    error_code = 0
+    it = 1
+    t0 = _time.time()
+    save_count = 0
+    last_save_iter = 0
+    save_t0 = _time.time()
+
+    def terminate():
+        if need_dual_feasible and dual_error < dual_error_threshold:
+            if verbose:
+                print("Dual feasible solution found")
+            return True
+        if need_primal_feasible and primal_error < primal_error_threshold:
+            if verbose:
+                print("Primal feasible solution found")
+            return True
+        if (not correctoronly and dual_error < dual_error_threshold
+                and primal_error < primal_error_threshold
+                and dual_gap < duality_gap_threshold):
+            if verbose:
+                print("Optimal solution found")
+            return True
+        return False
+
+    while not terminate():
+        if it > maxiterations:
+            if verbose:
+                print("The maximum number of iterations has been reached.")
+            error_code = 2
+            break
+        if mu > max_complementary_gap:
+            if verbose:
+                print(f"The maximum complementary gap has been exceeded (mu = {mu}).")
+            error_code = 3
+            break
+
+        new_state, info = step(state, bool(pd_feas))
+        info = {k: (float(v) if np.asarray(v).ndim == 0 else v)
+                for k, v in info.items()}
+        if not info["ok"] or not np.isfinite(info["mu"]):
+            if verbose:
+                print("A Cholesky decomposition failed (or non-finite values "
+                      "appeared); returning the current solution. "
+                      "The problem may need preprocessing or more precision.")
+            error_code = 1
+            break
+        if min(info["alpha_d"], info["alpha_p"]) < step_length_threshold:
+            if verbose:
+                print(f"The step length ({min(info['alpha_d'], info['alpha_p']):.2e}) "
+                      "was too short; possible precision issues or infeasibility.")
+            error_code = 4
+            break
+
+        state = new_state
+        mu = info["mu"]
+        dual_error = info["dual_error"]
+        primal_error = info["primal_error"]
+        pd_feas = info["pd_feas"]
+        d_obj, p_obj = info["d_obj"], info["p_obj"]
+        dual_gap = info["dual_gap"]
+
+        if verbose:
+            print(f"{it:5d} {_time.time()-t0:8.1f} {mu:11.3e} {d_obj:11.3e} "
+                  f"{p_obj:11.3e} {dual_gap:10.2e} {dual_error:10.2e} "
+                  f"{dual_error:10.2e} {primal_error:10.2e} "
+                  f"{info['alpha_d']:10.2e} {info['alpha_p']:10.2e} "
+                  f"{info['beta_c']:10.2e}")
+
+        # checkpointing (solver.jl:497-528)
+        if save_settings is not None:
+            save_now = False
+            ss = save_settings
+            if ss.callback is not None:
+                save_now = ss.callback(it, _time.time() - t0,
+                                       it - last_save_iter,
+                                       _time.time() - save_t0)
+                if save_now:
+                    last_save_iter = it
+                    save_t0 = _time.time()
+            else:
+                if ss.iter_interval and it - last_save_iter >= ss.iter_interval:
+                    save_now = True
+                    last_save_iter = it
+                if ss.time_interval and _time.time() - save_t0 >= ss.time_interval:
+                    save_now = True
+                    save_t0 = _time.time()
+            if save_now:
+                save_count += 1
+                _save(ss, save_count, _extract(ds, sdp, state, post))
+        it += 1
+
+    solve_time = _time.time() - t0
+    dualsol_out, primalsol_out = _extract(ds, sdp, state, post)
+
+    if save_settings is not None and (save_settings.time_interval
+                                      or (save_settings.iter_interval
+                                          and last_save_iter != it - 1)):
+        save_count += 1
+        _save(save_settings, save_count, (dualsol_out, primalsol_out))
+
+    if verbose:
+        print(f"\nPrimal objective: {p_obj}")
+        print(f"Dual objective: {d_obj}")
+        print(f"duality gap: {dual_gap}")
+
+    if pd_feas and dual_gap < duality_gap_threshold:
+        status = Optimal()
+    elif (pd_feas and dual_gap < 1e-8) or (dual_error < 1e-15
+                                           and primal_error < 1e-15
+                                           and dual_gap < 1e-8):
+        status = NearOptimal()
+    elif pd_feas:
+        status = Feasible()
+    elif primal_error < primal_error_threshold:
+        status = PrimalFeasible()
+    elif dual_error < dual_error_threshold:
+        status = DualFeasible()
+    else:
+        status = NotConverged()
+
+    return status, dualsol_out, primalsol_out, solve_time, error_code
+
+
+def _save(ss: SaveSettings, count, sols):
+    if ss.only_last:
+        name = ss.save_name + ".jls"
+    else:
+        name = ss.save_name.replace("#", str(count)) + ".jls"
+    with open(name, "wb") as f:
+        pickle.dump(sols, f)
+
+
+def _dd_scalar_array(hi, lo):
+    out = np.empty(hi.shape, dtype=object)
+    for idx in np.ndindex(*hi.shape):
+        out[idx] = DDScalar(float(hi[idx]), float(lo[idx]))
+    return out
+
+
+def _extract(ds, sdp: ClusteredLowRankSDP, state, post=None):
+    """Device state -> (DualSolution, PrimalSolution) (solver.jl:746-790)."""
+    x = [(np.asarray(h), np.asarray(l)) for h, l in state["x"]]
+    yh, yl = np.asarray(state["y"][0]), np.asarray(state["y"][1])
+    if post is not None:
+        x, (yh, yl) = post(x, (yh, yl))
+
+    matrixvars = {}
+    matrixvars_dual = {}
+    for j, cl in enumerate(sdp.clusters):
+        for l, bd in enumerate(cl.blocks):
+            Yh = np.asarray(state["Y"][j][l][0])
+            Yl = np.asarray(state["Y"][j][l][1])
+            Xh = np.asarray(state["X"][j][l][0])
+            Xl = np.asarray(state["X"][j][l][1])
+            use_block, nsub = sdp.matrix_coeff_blocks[j][l]
+            delta = bd.delta
+            for r in range(nsub):
+                for s in range(nsub):
+                    sl = (slice(r * delta, (r + 1) * delta),
+                          slice(s * delta, (s + 1) * delta))
+                    key = Block(bd.name, r + 1, s + 1) if use_block else bd.name
+                    matrixvars[key] = _dd_scalar_array(Yh[sl], Yl[sl])
+                    matrixvars_dual[key] = _dd_scalar_array(Xh[sl], Xl[sl])
+
+    freevars = {}
+    for i, k in enumerate(sdp.free_names):
+        freevars[k] = DDScalar(float(yh[i]), float(yl[i]))
+
+    ncons = max((ci for (ci, si) in sdp.order_c), default=-1) + 1
+    x_orig = [[] for _ in range(ncons)]
+    for (ci, si) in sorted(sdp.order_c.keys()):
+        j, row = sdp.order_c[(ci, si)]
+        x_orig[ci].append(DDScalar(float(x[j][0][row]), float(x[j][1][row])))
+
+    return (DualSolution(x_orig, matrixvars_dual),
+            PrimalSolution(matrixvars, freevars))
+
+
+def _warm_start(ds, sdp, state, dualsol: DualSolution, primalsol: PrimalSolution):
+    """Scatter a previous solution back into x, X, y, Y (solver.jl:202-239)."""
+    from ..utils.hp import to_dd
+    import jax.numpy as jnp
+
+    x = [[np.zeros(cl.nrows), np.zeros(cl.nrows)] for cl in sdp.clusters]
+    for (ci, si), (j, row) in sdp.order_c.items():
+        try:
+            v = dualsol.x[ci][si]
+        except (IndexError, KeyError):
+            continue
+        h, l = to_dd(v if not isinstance(v, float) else v)
+        x[j][0][row] = h
+        x[j][1][row] = l
+
+    def read_block(mv, j, l, bd):
+        use_block, nsub = sdp.matrix_coeff_blocks[j][l]
+        n = bd.n
+        delta = bd.delta
+        hi = np.zeros((n, n))
+        lo = np.zeros((n, n))
+        for r in range(nsub):
+            for s in range(nsub):
+                key = Block(bd.name, r + 1, s + 1) if use_block else bd.name
+                if key not in mv and not use_block:
+                    key = Block(bd.name, r + 1, s + 1)
+                sub = mv[key]
+                for a in range(delta):
+                    for bcol in range(delta):
+                        h, l2 = to_dd(sub[a, bcol])
+                        hi[r * delta + a, s * delta + bcol] = h
+                        lo[r * delta + a, s * delta + bcol] = l2
+        return (jnp.asarray(hi), jnp.asarray(lo))
+
+    X = []
+    Y = []
+    for j, cl in enumerate(sdp.clusters):
+        Xc, Yc = [], []
+        for l, bd in enumerate(cl.blocks):
+            Xc.append(read_block(dualsol.matrixvars, j, l, bd))
+            Yc.append(read_block(primalsol.matrixvars, j, l, bd))
+        X.append(Xc)
+        Y.append(Yc)
+
+    yh = np.zeros(sdp.nfree)
+    yl = np.zeros(sdp.nfree)
+    for i, k in enumerate(sdp.free_names):
+        if k in primalsol.freevars:
+            yh[i], yl[i] = to_dd(primalsol.freevars[k])
+
+    return {
+        "x": [(jnp.asarray(h), jnp.asarray(l)) for h, l in x],
+        "y": (jnp.asarray(yh), jnp.asarray(yl)),
+        "X": X,
+        "Y": Y,
+    }

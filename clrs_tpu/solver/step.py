@@ -1,0 +1,490 @@
+"""The jitted IPM iteration (device side).
+
+One call = one full Mehrotra predictor-corrector iteration, mirroring the
+main loop of `ClusteredLowRankSolver.jl/src/solver.jl:348-593`:
+
+  mu -> R_p -> chol(X) -> X^-1 -> bilinear panels V^T X^-1 V, V^T Y V ->
+  Schur S^j (solver.jl:1062-1226) -> chol(S^j) -> L^-1 B -> Q -> chol(Q)
+  (solver.jl:1229-1287) -> residuals P,p,d (solver.jl:882-918) ->
+  predictor direction (solver.jl:1474-1616) -> corrector mu_c ->
+  corrector direction -> step lengths (solver.jl:1618-1693) -> update.
+
+Everything is double-word float64; scalars for termination control are
+returned to the host.  Failures (non-PSD Cholesky) surface as boolean flags,
+the host maps them onto the reference's SolverFailure/error-code semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dd import linalg as dl
+from ..dd.core import dd_add, dd_div, dd_mul, dd_sub
+from ..compile.sdp import ClusteredLowRankSDP
+
+__all__ = ["DeviceSDP", "make_step", "make_assess", "initial_state"]
+
+
+def _dd(a):
+    return (jnp.asarray(a[0], dtype=jnp.float64), jnp.asarray(a[1], dtype=jnp.float64))
+
+
+def dd_take(m, *idx):
+    return (m[0][idx], m[1][idx])
+
+
+def _dd_scale(x, a):
+    """multiply a double-word array by an exact {0,1}/power-of-two f64 array."""
+    return (x[0] * a, x[1] * a)
+
+
+@dataclasses.dataclass
+class _DevBlock:
+    kind: str
+    n: int
+    C: Any
+    V: Any = None
+    lam: Any = None
+    li: Any = None
+    ri: Any = None
+    tmask: Any = None
+    onehotL: Any = None     # f64 [P*T, m]
+    onehotR: Any = None     # f64 [P*T, m]
+    A: Any = None           # dd [P, n, n]
+
+
+@dataclasses.dataclass
+class _DevCluster:
+    nrows: int
+    c: Any
+    B: Any
+    blocks: List[_DevBlock]
+
+
+class DeviceSDP:
+    """Device-resident constants built from a compiled SDP."""
+
+    def __init__(self, sdp: ClusteredLowRankSDP):
+        self.maximize = sdp.maximize
+        self.sign = 1.0 if sdp.maximize else -1.0
+        self.constant = (jnp.float64(sdp.constant.hi), jnp.float64(sdp.constant.lo))
+        self.b = _dd(sdp.b)
+        self.nfree = sdp.nfree
+        self.clusters = []
+        for cl in sdp.clusters:
+            blocks = []
+            for bd in cl.blocks:
+                if bd.kind == "lowrank":
+                    P, T = bd.li.shape
+                    m = bd.V[0].shape[1]
+                    onehotL = np.zeros((P * T, m))
+                    onehotR = np.zeros((P * T, m))
+                    onehotL[np.arange(P * T), bd.li.reshape(-1)] = bd.tmask.reshape(-1)
+                    onehotR[np.arange(P * T), bd.ri.reshape(-1)] = bd.tmask.reshape(-1)
+                    blocks.append(_DevBlock(
+                        kind="lowrank", n=bd.n, C=_dd(bd.C), V=_dd(bd.V),
+                        lam=_dd(bd.lam), li=jnp.asarray(bd.li),
+                        ri=jnp.asarray(bd.ri), tmask=jnp.asarray(bd.tmask),
+                        onehotL=jnp.asarray(onehotL), onehotR=jnp.asarray(onehotR)))
+                else:
+                    blocks.append(_DevBlock(kind="dense", n=bd.n, C=_dd(bd.C),
+                                            A=_dd(bd.A)))
+            self.clusters.append(_DevCluster(nrows=cl.nrows, c=_dd(cl.c),
+                                             B=_dd(cl.B), blocks=blocks))
+        self.total_size = sum(b.n for cl in self.clusters for b in cl.blocks)
+        self.total_rows = sum(cl.nrows for cl in self.clusters)
+
+
+def initial_state(ds: DeviceSDP, omega_p: float, omega_d: float):
+    """x=0, X=omega_p*I, y=0, Y=omega_d*I (solver.jl:186-201)."""
+    x = [dl.dd_zeros((cl.nrows,)) for cl in ds.clusters]
+    y = dl.dd_zeros((ds.nfree,))
+    X = [[_dd_scale(dl.dd_eye(b.n), omega_p) for b in cl.blocks] for cl in ds.clusters]
+    Y = [[_dd_scale(dl.dd_eye(b.n), omega_d) for b in cl.blocks] for cl in ds.clusters]
+    return {"x": x, "y": y, "X": X, "Y": Y}
+
+
+# ---------------------------------------------------------------------------
+# core operators
+# ---------------------------------------------------------------------------
+
+def _panel(b: _DevBlock, M):
+    """V^T M V for a low-rank block (the bilinear pairing panel)."""
+    MV = dl.dd_matmul(M, b.V)
+    return dl.dd_matmul(dl.dd_transpose(b.V), MV)
+
+
+def _trace_A_cluster(cl: _DevCluster, Zs):
+    """[<A_p, Z>]_p for all rows of one cluster (solver.jl:1289-1366)."""
+    tot = dl.dd_zeros((cl.nrows,))
+    for b, Z in zip(cl.blocks, Zs):
+        if b.kind == "lowrank":
+            PZ = _panel(b, Z)
+            g = dd_take(PZ, b.li, b.ri)          # dd [P, T]
+            v = dd_mul(b.lam, g)
+            v = _dd_scale(v, b.tmask)
+            tot = dd_add(tot, dl.dd_sum(v, axis=1))
+        else:
+            prod = dd_mul(b.A, (Z[0][None], Z[1][None]))
+            flat = (prod[0].reshape(cl.nrows, -1), prod[1].reshape(cl.nrows, -1))
+            tot = dd_add(tot, dl.dd_sum(flat, axis=1))
+    return tot
+
+
+def _weighted_A_cluster(cl: _DevCluster, a):
+    """[sum_p a_p A_p^{(l)}]_l for one cluster (solver.jl:1409-1470)."""
+    out = []
+    for b in cl.blocks:
+        if b.kind == "lowrank":
+            P, T = b.li.shape
+            w = dd_mul(b.lam, (a[0][:, None], a[1][:, None]))
+            w = _dd_scale(w, b.tmask)
+            wf = (w[0].reshape(P * T, 1), w[1].reshape(P * T, 1))
+            wL = (wf[0] * b.onehotL, wf[1] * b.onehotL)
+            D = dl.dd_matmul((b.onehotR.T, jnp.zeros_like(b.onehotR.T)), wL)
+            VD = dl.dd_matmul(b.V, D)
+            out.append(dl.dd_matmul(VD, dl.dd_transpose(b.V)))
+        else:
+            prod = dd_mul(b.A, (a[0][:, None, None], a[1][:, None, None]))
+            out.append(dl.dd_sum(prod, axis=0))
+    return out
+
+
+def _schur_cluster(cl: _DevCluster, Xinvs, Ys):
+    """S^j (upper triangle mirrored), solver.jl:1062-1226."""
+    P = cl.nrows
+    S = dl.dd_zeros((P, P))
+    for b, Xinv, Y in zip(cl.blocks, Xinvs, Ys):
+        if b.kind == "lowrank":
+            PX = _panel(b, Xinv)
+            PY = _panel(b, Y)
+            # S_pq += sum_{t1,t2} lam[p,t1] lam[q,t2] PX[li[p,t1], ri[q,t2]]
+            #                                        * PY[li[q,t2], ri[p,t1]]
+            gx = dd_take(PX, b.li[:, :, None, None], b.ri[None, None, :, :])
+            gy = dd_take(PY, b.li[None, None, :, :], b.ri[:, :, None, None])
+            lam1 = (b.lam[0][:, :, None, None], b.lam[1][:, :, None, None])
+            lam2 = (b.lam[0][None, None, :, :], b.lam[1][None, None, :, :])
+            v = dd_mul(dd_mul(lam1, lam2), dd_mul(gx, gy))
+            mask = b.tmask[:, :, None, None] * b.tmask[None, None, :, :]
+            v = _dd_scale(v, mask)
+            contrib = dl.dd_sum(dl.dd_sum(v, axis=3), axis=1)
+            S = dd_add(S, contrib)
+        else:
+            XA = jax.vmap(lambda Ai: dl.dd_matmul(Xinv, Ai))((b.A[0], b.A[1]))
+            XAY = jax.vmap(lambda Mi: dl.dd_matmul(Mi, Y))(XA)
+            prod = dd_mul((b.A[0][:, None], b.A[1][:, None]),
+                          (XAY[0][None], XAY[1][None]))
+            flat = (prod[0].reshape(P, P, -1), prod[1].reshape(P, P, -1))
+            S = dd_add(S, dl.dd_sum(flat, axis=2))
+    # keep the upper triangle, mirror it (reference: symmetric!(S), q>=p only)
+    iu = jnp.triu(jnp.ones((P, P), dtype=bool))
+    Ssym = (jnp.where(iu, S[0], S[0].T), jnp.where(iu, S[1], S[1].T))
+    return Ssym
+
+
+def _dot_state(Xs, Ys):
+    tot = (jnp.float64(0.0), jnp.float64(0.0))
+    for Xc, Yc in zip(Xs, Ys):
+        for Xb, Yb in zip(Xc, Yc):
+            tot = dd_add(tot, dl.dd_dot(Xb, Yb))
+    return tot
+
+
+def _max_abs_blocks(Ms):
+    v = jnp.float64(0.0)
+    for Mc in Ms:
+        for Mb in Mc:
+            v = jnp.maximum(v, dl.dd_max_abs(Mb))
+    return v
+
+
+def _residuals(ds: DeviceSDP, state):
+    """P = sum_i x_i A_i - X - sign*C;  d = c - <A_*,Y> - By;
+    p = sign*b - B^T x  (solver.jl:882-918)."""
+    x, y, X, Y = state["x"], state["y"], state["X"], state["Y"]
+    Pres = []
+    dres = []
+    for j, cl in enumerate(ds.clusters):
+        wA = _weighted_A_cluster(cl, x[j])
+        Pc = []
+        for l, b in enumerate(cl.blocks):
+            Pb = dd_sub(dd_sub(wA[l], X[j][l]), _dd_scale(b.C, ds.sign))
+            Pc.append(Pb)
+        Pres.append(Pc)
+        By = dl.dd_matmul(cl.B, (y[0][:, None], y[1][:, None]))
+        d_j = dd_sub(dd_sub(cl.c, (By[0][:, 0], By[1][:, 0])),
+                     _trace_A_cluster(cl, Y[j]))
+        dres.append(d_j)
+    pres = _dd_scale(ds.b, ds.sign)
+    for j, cl in enumerate(ds.clusters):
+        Btx = dl.dd_matmul(dl.dd_transpose(cl.B),
+                           (x[j][0][:, None], x[j][1][:, None]))
+        pres = dd_sub(pres, (Btx[0][:, 0], Btx[1][:, 0]))
+    return Pres, pres, dres
+
+
+def _objectives(ds: DeviceSDP, state):
+    x, y, Y = state["x"], state["y"], state["Y"]
+    dot_cx = (jnp.float64(0.0), jnp.float64(0.0))
+    for j, cl in enumerate(ds.clusters):
+        dot_cx = dd_add(dot_cx, dl.dd_dot(cl.c, x[j]))
+    d_obj = dd_add(_dd_scale(dot_cx, ds.sign), ds.constant)
+    CY = (jnp.float64(0.0), jnp.float64(0.0))
+    for j, cl in enumerate(ds.clusters):
+        for l, b in enumerate(cl.blocks):
+            CY = dd_add(CY, dl.dd_dot(b.C, Y[j][l]))
+    by = dl.dd_dot(ds.b, y)
+    p_obj = dd_add(dd_add(CY, by), ds.constant)
+    diff = dd_sub(d_obj, p_obj)
+    gap_num = jnp.abs(diff[0] + diff[1])
+    denom = jnp.maximum(1.0, jnp.abs(d_obj[0] + d_obj[1] + p_obj[0] + p_obj[1]))
+    gap = gap_num / denom
+    return d_obj, p_obj, gap
+
+
+def _errors(Pres, pres, dres):
+    dual_error = jnp.maximum(_max_abs_blocks(Pres), dl.dd_max_abs(pres))
+    primal_error = jnp.float64(0.0)
+    for d_j in dres:
+        primal_error = jnp.maximum(primal_error, dl.dd_max_abs(d_j))
+    return dual_error, primal_error
+
+
+def _step_length_blocks(ds, Ms, dMs, gamma, eig_safety):
+    """max alpha keeping M + alpha dM PSD, via min eig of L^-1 dM L^-T
+    (solver.jl:1618-1693). Returns (alpha_f64, chol_ok)."""
+    min_eig = jnp.float64(jnp.inf)
+    ok = jnp.bool_(True)
+    for j, cl in enumerate(ds.clusters):
+        for l, b in enumerate(cl.blocks):
+            M, dM = Ms[j][l], dMs[j][l]
+            if b.n == 1:
+                e = (dM[0][0, 0] + dM[1][0, 0]) / (M[0][0, 0] + M[1][0, 0])
+                min_eig = jnp.minimum(min_eig, e)
+                continue
+            L, okb = dl.dd_cholesky(M)
+            ok = ok & okb
+            W = dl.dd_solve_tril(L, dM)
+            W2 = dl.dd_solve_tril(L, dl.dd_transpose(W))
+            A64 = W2[0] + W2[1]
+            A64 = 0.5 * (A64 + A64.T)
+            eigs = jnp.linalg.eigvalsh(A64)
+            min_eig = jnp.minimum(min_eig, eigs[0] - eig_safety * (1.0 + jnp.abs(eigs[0])))
+    alpha = jnp.where(min_eig > -gamma, jnp.float64(1.0), -gamma / min_eig)
+    return alpha, ok, min_eig
+
+
+def _axpy_state(state, dx, dy, dX, dY, alpha_d, alpha_p):
+    x = [dd_add(xj, _mulf(dxj, alpha_d)) for xj, dxj in zip(state["x"], dx)]
+    y = dd_add(state["y"], _mulf(dy, alpha_p))
+    X = [[dd_add(Xb, _mulf(dXb, alpha_d)) for Xb, dXb in zip(Xc, dXc)]
+         for Xc, dXc in zip(state["X"], dX)]
+    Y = [[dd_add(Yb, _mulf(dYb, alpha_p)) for Yb, dYb in zip(Yc, dYc)]
+         for Yc, dYc in zip(state["Y"], dY)]
+    return {"x": x, "y": y, "X": X, "Y": Y}
+
+
+def _mulf(x, a):
+    from ..dd.core import dd_mul_f64
+
+    return dd_mul_f64(x, a)
+
+
+# ---------------------------------------------------------------------------
+# assess + step factories
+# ---------------------------------------------------------------------------
+
+def make_assess(ds: DeviceSDP):
+    def assess(state):
+        Pres, pres, dres = _residuals(ds, state)
+        dual_error, primal_error = _errors(Pres, pres, dres)
+        d_obj, p_obj, gap = _objectives(ds, state)
+        mu_dd = dd_div(_dot_state(state["X"], state["Y"]),
+                       (jnp.float64(ds.total_size), jnp.float64(0.0)))
+        return {
+            "dual_error": dual_error,
+            "primal_error": primal_error,
+            "d_obj": d_obj[0] + d_obj[1],
+            "p_obj": p_obj[0] + p_obj[1],
+            "dual_gap": gap,
+            "mu": mu_dd[0] + mu_dd[1],
+        }
+
+    return jax.jit(assess)
+
+
+def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
+              beta_infeasible: float, dual_error_threshold: float,
+              primal_error_threshold: float, safe_step: bool = True,
+              correctoronly: bool = False, eig_safety: float = 1e-12):
+    """Build the jitted one-iteration function."""
+
+    K = float(ds.total_size)
+
+    def step(state, pd_feas_prev):
+        x, y, X, Y = state["x"], state["y"], state["X"], state["Y"]
+        ok = jnp.bool_(True)
+
+        # step 3: mu and mu_p
+        mu = _dot_state(X, Y)
+        mu = dd_div(mu, (jnp.float64(K), jnp.float64(0.0)))
+        if correctoronly:
+            mu_p = mu
+        else:
+            mu_p = dd_mul((jnp.where(pd_feas_prev, 0.0, beta_infeasible),
+                           jnp.float64(0.0)), mu)
+
+        # chol(X) and X^-1 per block (solver.jl:387-400, 1117-1119)
+        cholX, Xinv = [], []
+        for j, cl in enumerate(ds.clusters):
+            cx, xi = [], []
+            for l, b in enumerate(cl.blocks):
+                L, okb = dl.dd_cholesky(X[j][l])
+                ok = ok & okb
+                inv = dl.dd_solve_cholesky(L, dl.dd_eye(b.n))
+                inv = dl.dd_symmetrize(inv)
+                cx.append(L)
+                xi.append(inv)
+            cholX.append(cx)
+            Xinv.append(xi)
+
+        # R_p = mu_p I - X Y (solver.jl:961-970)
+        def _residual_R(mu_val, with_corr=None):
+            Rs = []
+            for j, cl in enumerate(ds.clusters):
+                Rc = []
+                for l, b in enumerate(cl.blocks):
+                    XY = dl.dd_matmul(X[j][l], Y[j][l])
+                    Rb = dd_sub(dd_mul((mu_val[0], mu_val[1]), dl.dd_eye(b.n)), XY)
+                    if with_corr is not None:
+                        dXdY = dl.dd_matmul(with_corr[0][j][l], with_corr[1][j][l])
+                        Rb = dd_sub(Rb, dXdY)
+                    Rc.append(Rb)
+                Rs.append(Rc)
+            return Rs
+
+        R = _residual_R(mu_p)
+
+        # Schur complement per cluster + KKT decomposition (solver.jl:1229-1287)
+        Ss, cholSs, LinvBs = [], [], []
+        for j, cl in enumerate(ds.clusters):
+            S = _schur_cluster(cl, Xinv[j], Y[j])
+            L, okb = dl.dd_cholesky(S)
+            ok = ok & okb
+            LinvB = dl.dd_solve_tril(L, cl.B)
+            Ss.append(S)
+            cholSs.append(L)
+            LinvBs.append(LinvB)
+        Q = dl.dd_zeros((ds.nfree, ds.nfree))
+        for LinvB in LinvBs:
+            Q = dd_add(Q, dl.dd_matmul(dl.dd_transpose(LinvB), LinvB))
+        cholQ, okq = dl.dd_cholesky(Q)
+        ok = ok & okq
+
+        # residuals for the current point (solver.jl:413-417)
+        Pres, pres, dres = _residuals(ds, state)
+        dual_error, primal_error = _errors(Pres, pres, dres)
+        pd_feas_now = (dual_error < dual_error_threshold) & \
+                      (primal_error < primal_error_threshold)
+
+        def search_direction(Rcur):
+            # Z = X^-1 (P Y - R), symmetrized (solver.jl:1499-1515)
+            Zs = []
+            for j, cl in enumerate(ds.clusters):
+                Zc = []
+                for l, b in enumerate(cl.blocks):
+                    PY_ = dl.dd_matmul(Pres[j][l], Y[j][l])
+                    Zb = dl.dd_matmul(Xinv[j][l], dd_sub(PY_, Rcur[j][l]))
+                    Zc.append(dl.dd_symmetrize(Zb))
+                Zs.append(Zc)
+            # rhs_x = -d - <A_*, Z>  (solver.jl:1519-1525)
+            rhs_x = []
+            for j, cl in enumerate(ds.clusters):
+                tA = _trace_A_cluster(cl, Zs[j])
+                rhs_x.append(dd_sub((-dres[j][0], -dres[j][1]), tA))
+            # 3-stage triangular solve (solver.jl:1527-1582)
+            temp_x, temp_y = [], []
+            for j, cl in enumerate(ds.clusters):
+                tx = dl.dd_solve_tril(cholSs[j],
+                                      (rhs_x[j][0][:, None], rhs_x[j][1][:, None]))
+                ty = dl.dd_matmul(dl.dd_transpose(LinvBs[j]), tx)
+                temp_x.append(tx)
+                temp_y.append(ty)
+            dy = (pres[0][:, None], pres[1][:, None])
+            for ty in temp_y:
+                dy = dd_sub(dy, ty)
+            dy = dl.dd_solve_cholesky(cholQ, dy)
+            dx = []
+            for j, cl in enumerate(ds.clusters):
+                t = dd_add(temp_x[j], dl.dd_matmul(LinvBs[j], dy))
+                dxj = dl.dd_solve_triu(dl.dd_transpose(cholSs[j]), t)
+                dx.append((dxj[0][:, 0], dxj[1][:, 0]))
+            dy = (dy[0][:, 0], dy[1][:, 0])
+            # dX = sum_i dx_i A_i + P (solver.jl:1585-1594)
+            dX = []
+            for j, cl in enumerate(ds.clusters):
+                wA = _weighted_A_cluster(cl, dx[j])
+                dX.append([dd_add(w, Pb) for w, Pb in zip(wA, Pres[j])])
+            # dY = X^-1 (R - dX Y), symmetrized (solver.jl:1597-1613)
+            dY = []
+            for j, cl in enumerate(ds.clusters):
+                dYc = []
+                for l, b in enumerate(cl.blocks):
+                    dXY = dl.dd_matmul(dX[j][l], Y[j][l])
+                    dYb = dl.dd_matmul(Xinv[j][l], dd_sub(Rcur[j][l], dXY))
+                    dYc.append(dl.dd_symmetrize(dYb))
+                dY.append(dYc)
+            return dx, dy, dX, dY
+
+        # predictor (solver.jl:420-425)
+        dx, dy, dX, dY = search_direction(R)
+
+        # corrector mu (solver.jl:429-434)
+        r_num = dd_add(dd_add(_dot_state(X, Y), _dot_state(X, dY)),
+                       dd_add(_dot_state(dX, Y), _dot_state(dX, dY)))
+        r_val = (r_num[0] + r_num[1]) / ((mu[0] + mu[1]) * K)
+        beta = jnp.where(r_val < 1.0, r_val ** 2, r_val)
+        beta_c = jnp.where(pd_feas_now,
+                           jnp.minimum(jnp.maximum(beta_feasible, beta), 1.0),
+                           jnp.maximum(beta_infeasible, beta))
+        mu_c = _mulf(mu, beta_c)
+
+        # corrector direction (solver.jl:438-456)
+        Rc = _residual_R(mu_c, with_corr=(dX, dY))
+        dx, dy, dX, dY = search_direction(Rc)
+
+        # step lengths (solver.jl:460-465)
+        alpha_d, ok_a1, me1 = _step_length_blocks(ds, X, dX, gamma, eig_safety)
+        alpha_p, ok_a2, me2 = _step_length_blocks(ds, Y, dY, gamma, eig_safety)
+        ok = ok & ok_a1 & ok_a2
+        if safe_step:
+            both = pd_feas_now
+            a = jnp.minimum(alpha_p, alpha_d)
+            alpha_p = jnp.where(both, a, alpha_p)
+            alpha_d = jnp.where(both, a, alpha_d)
+
+        new_state = _axpy_state(state, dx, dy, dX, dY, alpha_d, alpha_p)
+        d_obj, p_obj, gap = _objectives(ds, new_state)
+
+        info = {
+            "mu": mu[0] + mu[1],
+            "dual_error": dual_error,
+            "primal_error": primal_error,
+            "pd_feas": pd_feas_now,
+            "alpha_d": alpha_d,
+            "alpha_p": alpha_p,
+            "beta_c": beta_c,
+            "d_obj": d_obj[0] + d_obj[1],
+            "p_obj": p_obj[0] + p_obj[1],
+            "dual_gap": gap,
+            "ok": ok,
+        }
+        return new_state, info
+
+    return jax.jit(step)

@@ -1,0 +1,91 @@
+"""Double-word arithmetic substrate tests (vs Fraction ground truth)."""
+
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from clrs_tpu.dd import core, linalg
+
+
+def dd_to_frac(x):
+    return Fraction(float(x[0])) + Fraction(float(x[1]))
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_scalar_ops_exactness():
+    a = (np.float64(1 / 3), np.float64(1.1e-17))
+    b = (np.float64(np.pi), np.float64(1.2246467991473532e-16))
+    fa, fb = dd_to_frac(a), dd_to_frac(b)
+    assert dd_to_frac(core.dd_add(a, b)) == fa + fb  # accurate add is exact here
+    assert abs(dd_to_frac(core.dd_mul(a, b)) - fa * fb) < Fraction(1, 10 ** 31)
+    assert abs(dd_to_frac(core.dd_div(a, b)) - fa / fb) < Fraction(1, 10 ** 31)
+    r = dd_to_frac(core.dd_sqrt((np.float64(2.0), np.float64(0.0))))
+    assert abs(r * r - 2) < Fraction(1, 10 ** 31)
+
+
+def test_matmul_dd_accuracy(rng):
+    m, k, n = 7, 33, 5
+    ah = rng.standard_normal((m, k))
+    al = ah * 1e-17 * rng.standard_normal((m, k))
+    bh = rng.standard_normal((k, n))
+    bl = bh * 1e-17 * rng.standard_normal((k, n))
+    c = linalg.dd_matmul((jnp.array(ah), jnp.array(al)), (jnp.array(bh), jnp.array(bl)))
+    fa = [[Fraction(ah[i, t]) + Fraction(al[i, t]) for t in range(k)] for i in range(m)]
+    fb = [[Fraction(bh[t, j]) + Fraction(bl[t, j]) for j in range(n)] for t in range(k)]
+    for i in range(m):
+        for j in range(n):
+            truth = sum(fa[i][t] * fb[t][j] for t in range(k))
+            got = Fraction(float(c[0][i, j])) + Fraction(float(c[1][i, j]))
+            assert abs(got - truth) < Fraction(1, 10 ** 29)
+
+
+def test_cholesky_and_solves(rng):
+    n = 16
+    g = rng.standard_normal((n, n))
+    a = g @ g.T + n * np.eye(n)
+    add = (jnp.array(a), jnp.zeros((n, n)))
+    l, ok = linalg.dd_cholesky(add)
+    assert bool(ok)
+    rec = linalg.dd_matmul(l, linalg.dd_transpose(l))
+    # residual must be far below f64 roundoff of a plain cholesky
+    assert float(np.max(np.abs(np.asarray(rec[0]) - a + np.asarray(rec[1])))) < 1e-12
+    resid_lo = np.abs((np.asarray(rec[0]) - a) + np.asarray(rec[1])).max()
+    assert resid_lo < 1e-25
+
+    b = rng.standard_normal((n, 3))
+    xs = linalg.dd_solve_cholesky(l, (jnp.array(b), jnp.zeros((n, 3))))
+    resid = a @ (np.asarray(xs[0]) + np.asarray(xs[1])) - b
+    assert np.max(np.abs(resid)) < 1e-11
+
+
+def test_cholesky_failure_flag():
+    bad = (jnp.array(np.diag([1.0, -1.0, 2.0])), jnp.zeros((3, 3)))
+    _, ok = linalg.dd_cholesky(bad)
+    assert not bool(ok)
+
+
+def test_pairwise_sum_compensation():
+    x = (jnp.array([1e16, 1.0, -1e16, 1e-17]), jnp.zeros(4))
+    s = linalg.dd_sum(x, axis=0)
+    assert float(s[0]) == 1.0
+    assert abs(float(s[1]) - 1e-17) < 1e-30
+
+
+def test_triangular_solves(rng):
+    n = 10
+    l = np.tril(rng.standard_normal((n, n))) + 5 * np.eye(n)
+    b = rng.standard_normal((n, 2))
+    x = linalg.dd_solve_tril((jnp.array(l), jnp.zeros_like(jnp.array(l))),
+                             (jnp.array(b), jnp.zeros((n, 2))))
+    assert np.max(np.abs(l @ (np.asarray(x[0]) + np.asarray(x[1])) - b)) < 1e-13
+    u = l.T
+    x = linalg.dd_solve_triu((jnp.array(u), jnp.zeros((n, n))),
+                             (jnp.array(b), jnp.zeros((n, 2))))
+    assert np.max(np.abs(u @ (np.asarray(x[0]) + np.asarray(x[1])) - b)) < 1e-13
