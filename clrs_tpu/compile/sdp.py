@@ -107,11 +107,31 @@ class BlockData:
 
 
 @dataclasses.dataclass
+class ScalarPack:
+    """All 1x1 dense blocks of a cluster, batched into one subgraph.
+
+    An LP-cone specialization: the reference treats 1x1 PSD blocks like any
+    other Arb matrix; batching them makes every per-block op a vector op
+    (a big win for compile time and TPU utilization on problems like
+    Delsarte where most blocks are 1x1 scalars).
+    """
+
+    names: List[Any]                                 # B block names
+    a: Tuple[np.ndarray, np.ndarray]                 # dd [B, P] coefficients
+    C: Tuple[np.ndarray, np.ndarray]                 # dd [B] objective coeffs
+
+    @property
+    def nblocks(self):
+        return len(self.names)
+
+
+@dataclasses.dataclass
 class ClusterData:
     nrows: int                                      # P_j
     c: Tuple[np.ndarray, np.ndarray]                # dd [P]
     B: Tuple[np.ndarray, np.ndarray]                # dd [P, N]
     blocks: List[BlockData]
+    scalars: Optional[ScalarPack] = None
 
 
 class ClusteredLowRankSDP:
@@ -271,9 +291,44 @@ def _compile(problem: Problem, verbose: bool):
         c_dd = _dd_obj_array(c_obj)
         B_dd = _dd_obj_array(B_obj)
 
+        # ---- scalar pack: 1x1 dense blocks, batched ------------------------
+        scalar_names = [nm for nm in block_keys
+                        if dense[nm] and nsub[nm] == 1 and subsz[nm] == 1]
+        general_names = [nm for nm in block_keys if nm not in scalar_names]
+        scalars = None
+        if scalar_names:
+            nb = len(scalar_names)
+            sidx = {nm: i for i, nm in enumerate(scalar_names)}
+            a_obj = np.empty((nb, nrows), dtype=object)
+            a_obj[...] = 0
+            for ci in cidxs:
+                con = cons[ci]
+                touching = [(bl, m) for bl, m in con.matrixcoeff.items()
+                            if sortkey(name_of(bl)) in sidx]
+                if not touching:
+                    continue
+                for si, sample in enumerate(con.samples):
+                    p = rowptr[(ci, si)]
+                    for bl, m in touching:
+                        md = m.to_dense() if isinstance(m, LowRankMatPol) else m
+                        ev = sample_eval(md[0, 0], sample, con.scalings[si])
+                        bidx = sidx[sortkey(name_of(bl))]
+                        a_obj[bidx, p] = hp_add(a_obj[bidx, p], ev)
+            C0_obj = np.empty(nb, dtype=object)
+            C0_obj[...] = 0
+            for nm in scalar_names:
+                for bl, m in obj_blocks.get(nm, []):
+                    md = m.to_dense() if isinstance(m, LowRankMatPol) else (
+                        m if isinstance(m, np.ndarray) else np.array(m, dtype=object))
+                    C0_obj[sidx[nm]] = hp_add(C0_obj[sidx[nm]],
+                                              md.reshape(-1)[0])
+            scalars = ScalarPack(
+                names=[(names[nm], useblock[nm]) for nm in scalar_names],
+                a=_dd_obj_array(a_obj), C=_dd_obj_array(C0_obj))
+
         # ---- blocks -------------------------------------------------------
         blocks = []
-        for nm in block_keys:
+        for nm in general_names:
             delta = subsz[nm]
             R = nsub[nm]
             n = delta * R
@@ -370,7 +425,8 @@ def _compile(problem: Problem, verbose: bool):
                     V=(Vhi, Vlo), lam=(lam_hi, lam_lo), li=li, ri=ri,
                     tmask=tmask))
 
-        clusters.append(ClusterData(nrows=nrows, c=c_dd, B=B_dd, blocks=blocks))
+        clusters.append(ClusterData(nrows=nrows, c=c_dd, B=B_dd, blocks=blocks,
+                                    scalars=scalars))
         matrix_coeff_names.append([bd.name for bd in blocks])
         matrix_coeff_blocks.append([(bd.use_block, bd.nsubblocks) for bd in blocks])
 

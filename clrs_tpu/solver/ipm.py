@@ -249,6 +249,17 @@ def _extract(ds, sdp: ClusteredLowRankSDP, state, post=None):
     matrixvars = {}
     matrixvars_dual = {}
     for j, cl in enumerate(sdp.clusters):
+        if cl.scalars is not None:
+            Xsh = np.asarray(state["Xs"][j][0])
+            Xsl = np.asarray(state["Xs"][j][1])
+            Ysh = np.asarray(state["Ys"][j][0])
+            Ysl = np.asarray(state["Ys"][j][1])
+            for bidx, (name, use_block) in enumerate(cl.scalars.names):
+                key = Block(name, 1, 1) if use_block else name
+                matrixvars[key] = _dd_scalar_array(
+                    Ysh[bidx:bidx + 1, None], Ysl[bidx:bidx + 1, None])
+                matrixvars_dual[key] = _dd_scalar_array(
+                    Xsh[bidx:bidx + 1, None], Xsl[bidx:bidx + 1, None])
         for l, bd in enumerate(cl.blocks):
             Yh = np.asarray(state["Y"][j][l][0])
             Yl = np.asarray(state["Y"][j][l][1])
@@ -314,6 +325,8 @@ def _warm_start(ds, sdp, state, dualsol: DualSolution, primalsol: PrimalSolution
 
     X = []
     Y = []
+    Xs = []
+    Ys = []
     for j, cl in enumerate(sdp.clusters):
         Xc, Yc = [], []
         for l, bd in enumerate(cl.blocks):
@@ -321,6 +334,18 @@ def _warm_start(ds, sdp, state, dualsol: DualSolution, primalsol: PrimalSolution
             Yc.append(read_block(primalsol.matrixvars, j, l, bd))
         X.append(Xc)
         Y.append(Yc)
+        nb = cl.scalars.nblocks if cl.scalars is not None else 0
+        xsh = np.zeros(nb)
+        xsl = np.zeros(nb)
+        ysh = np.zeros(nb)
+        ysl = np.zeros(nb)
+        if cl.scalars is not None:
+            for bidx, (name, use_block) in enumerate(cl.scalars.names):
+                key = Block(name, 1, 1) if use_block else name
+                xsh[bidx], xsl[bidx] = to_dd(dualsol.matrixvars[key][0, 0])
+                ysh[bidx], ysl[bidx] = to_dd(primalsol.matrixvars[key][0, 0])
+        Xs.append((jnp.asarray(xsh), jnp.asarray(xsl)))
+        Ys.append((jnp.asarray(ysh), jnp.asarray(ysl)))
 
     yh = np.zeros(sdp.nfree)
     yl = np.zeros(sdp.nfree)
@@ -333,4 +358,6 @@ def _warm_start(ds, sdp, state, dualsol: DualSolution, primalsol: PrimalSolution
         "y": (jnp.asarray(yh), jnp.asarray(yl)),
         "X": X,
         "Y": Y,
+        "Xs": Xs,
+        "Ys": Ys,
     }

@@ -9,24 +9,29 @@ main loop of `ClusteredLowRankSolver.jl/src/solver.jl:348-593`:
   predictor direction (solver.jl:1474-1616) -> corrector mu_c ->
   corrector direction -> step lengths (solver.jl:1618-1693) -> update.
 
-Everything is double-word float64; scalars for termination control are
-returned to the host.  Failures (non-PSD Cholesky) surface as boolean flags,
-the host maps them onto the reference's SolverFailure/error-code semantics.
+TPU-first design notes:
+- 1x1 dense blocks are batched into a per-cluster "scalar pack" so all of
+  their per-block work becomes one vector subgraph (LP-cone specialization;
+  the reference loops over them as ordinary Arb matrices).
+- Low-rank constraint structure drives batched gather/einsum Schur assembly
+  via the static term tables produced by the compiler.
+- Everything is double-word float64; scalars for termination control are
+  returned to the host. Failures (non-PSD Cholesky) surface as boolean
+  flags; the host maps them onto the reference's SolverFailure semantics.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, List, Tuple
+from typing import Any, List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..dd import linalg as dl
-from ..dd.core import dd_add, dd_div, dd_mul, dd_sub
 from ..compile.sdp import ClusteredLowRankSDP
+from ..dd import linalg as dl
+from ..dd.core import dd_add, dd_div, dd_mul, dd_mul_f64, dd_sub
 
 __all__ = ["DeviceSDP", "make_step", "make_assess", "initial_state"]
 
@@ -65,6 +70,9 @@ class _DevCluster:
     c: Any
     B: Any
     blocks: List[_DevBlock]
+    sa: Any = None          # dd [Bs, P] scalar-pack coefficients
+    sC: Any = None          # dd [Bs]
+    s_nb: int = 0
 
 
 class DeviceSDP:
@@ -95,9 +103,15 @@ class DeviceSDP:
                 else:
                     blocks.append(_DevBlock(kind="dense", n=bd.n, C=_dd(bd.C),
                                             A=_dd(bd.A)))
-            self.clusters.append(_DevCluster(nrows=cl.nrows, c=_dd(cl.c),
-                                             B=_dd(cl.B), blocks=blocks))
-        self.total_size = sum(b.n for cl in self.clusters for b in cl.blocks)
+            dc = _DevCluster(nrows=cl.nrows, c=_dd(cl.c), B=_dd(cl.B),
+                             blocks=blocks)
+            if cl.scalars is not None:
+                dc.sa = _dd(cl.scalars.a)
+                dc.sC = _dd(cl.scalars.C)
+                dc.s_nb = cl.scalars.nblocks
+            self.clusters.append(dc)
+        self.total_size = sum(b.n for cl in self.clusters for b in cl.blocks) \
+            + sum(cl.s_nb for cl in self.clusters)
         self.total_rows = sum(cl.nrows for cl in self.clusters)
 
 
@@ -107,7 +121,9 @@ def initial_state(ds: DeviceSDP, omega_p: float, omega_d: float):
     y = dl.dd_zeros((ds.nfree,))
     X = [[_dd_scale(dl.dd_eye(b.n), omega_p) for b in cl.blocks] for cl in ds.clusters]
     Y = [[_dd_scale(dl.dd_eye(b.n), omega_d) for b in cl.blocks] for cl in ds.clusters]
-    return {"x": x, "y": y, "X": X, "Y": Y}
+    Xs = [(omega_p * jnp.ones(cl.s_nb), jnp.zeros(cl.s_nb)) for cl in ds.clusters]
+    Ys = [(omega_d * jnp.ones(cl.s_nb), jnp.zeros(cl.s_nb)) for cl in ds.clusters]
+    return {"x": x, "y": y, "X": X, "Y": Y, "Xs": Xs, "Ys": Ys}
 
 
 # ---------------------------------------------------------------------------
@@ -120,7 +136,7 @@ def _panel(b: _DevBlock, M):
     return dl.dd_matmul(dl.dd_transpose(b.V), MV)
 
 
-def _trace_A_cluster(cl: _DevCluster, Zs):
+def _trace_A_cluster(cl: _DevCluster, Zs, Zsc):
     """[<A_p, Z>]_p for all rows of one cluster (solver.jl:1289-1366)."""
     tot = dl.dd_zeros((cl.nrows,))
     for b, Z in zip(cl.blocks, Zs):
@@ -134,11 +150,14 @@ def _trace_A_cluster(cl: _DevCluster, Zs):
             prod = dd_mul(b.A, (Z[0][None], Z[1][None]))
             flat = (prod[0].reshape(cl.nrows, -1), prod[1].reshape(cl.nrows, -1))
             tot = dd_add(tot, dl.dd_sum(flat, axis=1))
+    if cl.s_nb:
+        r = dl.dd_matmul((Zsc[0][None, :], Zsc[1][None, :]), cl.sa)
+        tot = dd_add(tot, (r[0][0], r[1][0]))
     return tot
 
 
 def _weighted_A_cluster(cl: _DevCluster, a):
-    """[sum_p a_p A_p^{(l)}]_l for one cluster (solver.jl:1409-1470)."""
+    """sum_p a_p A_p per block + scalar pack (solver.jl:1409-1470)."""
     out = []
     for b in cl.blocks:
         if b.kind == "lowrank":
@@ -153,10 +172,15 @@ def _weighted_A_cluster(cl: _DevCluster, a):
         else:
             prod = dd_mul(b.A, (a[0][:, None, None], a[1][:, None, None]))
             out.append(dl.dd_sum(prod, axis=0))
-    return out
+    if cl.s_nb:
+        r = dl.dd_matmul(cl.sa, (a[0][:, None], a[1][:, None]))
+        out_s = (r[0][:, 0], r[1][:, 0])
+    else:
+        out_s = dl.dd_zeros((0,))
+    return out, out_s
 
 
-def _schur_cluster(cl: _DevCluster, Xinvs, Ys):
+def _schur_cluster(cl: _DevCluster, Xinvs, Ys, Xinv_s, Y_s):
     """S^j (upper triangle mirrored), solver.jl:1062-1226."""
     P = cl.nrows
     S = dl.dd_zeros((P, P))
@@ -182,24 +206,32 @@ def _schur_cluster(cl: _DevCluster, Xinvs, Ys):
                           (XAY[0][None], XAY[1][None]))
             flat = (prod[0].reshape(P, P, -1), prod[1].reshape(P, P, -1))
             S = dd_add(S, dl.dd_sum(flat, axis=2))
+    if cl.s_nb:
+        w = dd_mul(Xinv_s, Y_s)                      # [Bs]
+        t = dd_mul(cl.sa, (w[0][:, None], w[1][:, None]))
+        S = dd_add(S, dl.dd_matmul(dl.dd_transpose(cl.sa), t))
     # keep the upper triangle, mirror it (reference: symmetric!(S), q>=p only)
     iu = jnp.triu(jnp.ones((P, P), dtype=bool))
-    Ssym = (jnp.where(iu, S[0], S[0].T), jnp.where(iu, S[1], S[1].T))
-    return Ssym
+    return (jnp.where(iu, S[0], S[0].T), jnp.where(iu, S[1], S[1].T))
 
 
-def _dot_state(Xs, Ys):
+def _dot_state(ds, A, B, keyX="X", keyXs="Xs", keyY="Y", keyYs="Ys"):
     tot = (jnp.float64(0.0), jnp.float64(0.0))
-    for Xc, Yc in zip(Xs, Ys):
-        for Xb, Yb in zip(Xc, Yc):
+    for j in range(len(ds.clusters)):
+        for Xb, Yb in zip(A[keyX][j], B[keyY][j]):
             tot = dd_add(tot, dl.dd_dot(Xb, Yb))
+        if ds.clusters[j].s_nb:
+            tot = dd_add(tot, dl.dd_dot(A[keyXs][j], B[keyYs][j]))
     return tot
 
 
-def _max_abs_blocks(Ms):
+def _max_abs_all(Ms, Ms_s):
     v = jnp.float64(0.0)
     for Mc in Ms:
         for Mb in Mc:
+            v = jnp.maximum(v, dl.dd_max_abs(Mb))
+    for Mb in Ms_s:
+        if Mb[0].shape[0]:
             v = jnp.maximum(v, dl.dd_max_abs(Mb))
     return v
 
@@ -207,30 +239,33 @@ def _max_abs_blocks(Ms):
 def _residuals(ds: DeviceSDP, state):
     """P = sum_i x_i A_i - X - sign*C;  d = c - <A_*,Y> - By;
     p = sign*b - B^T x  (solver.jl:882-918)."""
-    x, y, X, Y = state["x"], state["y"], state["X"], state["Y"]
-    Pres = []
-    dres = []
+    x, y = state["x"], state["y"]
+    Pres, Pres_s, dres = [], [], []
     for j, cl in enumerate(ds.clusters):
-        wA = _weighted_A_cluster(cl, x[j])
-        Pc = []
-        for l, b in enumerate(cl.blocks):
-            Pb = dd_sub(dd_sub(wA[l], X[j][l]), _dd_scale(b.C, ds.sign))
-            Pc.append(Pb)
+        wA, wA_s = _weighted_A_cluster(cl, x[j])
+        Pc = [dd_sub(dd_sub(wA[l], state["X"][j][l]),
+                     _dd_scale(b.C, ds.sign))
+              for l, b in enumerate(cl.blocks)]
         Pres.append(Pc)
+        if cl.s_nb:
+            Pres_s.append(dd_sub(dd_sub(wA_s, state["Xs"][j]),
+                                 _dd_scale(cl.sC, ds.sign)))
+        else:
+            Pres_s.append(dl.dd_zeros((0,)))
         By = dl.dd_matmul(cl.B, (y[0][:, None], y[1][:, None]))
         d_j = dd_sub(dd_sub(cl.c, (By[0][:, 0], By[1][:, 0])),
-                     _trace_A_cluster(cl, Y[j]))
+                     _trace_A_cluster(cl, state["Y"][j], state["Ys"][j]))
         dres.append(d_j)
     pres = _dd_scale(ds.b, ds.sign)
     for j, cl in enumerate(ds.clusters):
         Btx = dl.dd_matmul(dl.dd_transpose(cl.B),
                            (x[j][0][:, None], x[j][1][:, None]))
         pres = dd_sub(pres, (Btx[0][:, 0], Btx[1][:, 0]))
-    return Pres, pres, dres
+    return Pres, Pres_s, pres, dres
 
 
 def _objectives(ds: DeviceSDP, state):
-    x, y, Y = state["x"], state["y"], state["Y"]
+    x, y = state["x"], state["y"]
     dot_cx = (jnp.float64(0.0), jnp.float64(0.0))
     for j, cl in enumerate(ds.clusters):
         dot_cx = dd_add(dot_cx, dl.dd_dot(cl.c, x[j]))
@@ -238,7 +273,9 @@ def _objectives(ds: DeviceSDP, state):
     CY = (jnp.float64(0.0), jnp.float64(0.0))
     for j, cl in enumerate(ds.clusters):
         for l, b in enumerate(cl.blocks):
-            CY = dd_add(CY, dl.dd_dot(b.C, Y[j][l]))
+            CY = dd_add(CY, dl.dd_dot(b.C, state["Y"][j][l]))
+        if cl.s_nb:
+            CY = dd_add(CY, dl.dd_dot(cl.sC, state["Ys"][j]))
     by = dl.dd_dot(ds.b, y)
     p_obj = dd_add(dd_add(CY, by), ds.constant)
     diff = dd_sub(d_obj, p_obj)
@@ -248,52 +285,51 @@ def _objectives(ds: DeviceSDP, state):
     return d_obj, p_obj, gap
 
 
-def _errors(Pres, pres, dres):
-    dual_error = jnp.maximum(_max_abs_blocks(Pres), dl.dd_max_abs(pres))
+def _errors(Pres, Pres_s, pres, dres):
+    dual_error = jnp.maximum(_max_abs_all(Pres, Pres_s), dl.dd_max_abs(pres))
     primal_error = jnp.float64(0.0)
     for d_j in dres:
         primal_error = jnp.maximum(primal_error, dl.dd_max_abs(d_j))
     return dual_error, primal_error
 
 
-def _step_length_blocks(ds, Ms, dMs, gamma, eig_safety):
+def _step_length(ds, state, keyM, keyMs, dM, dMs, gamma, eig_safety):
     """max alpha keeping M + alpha dM PSD, via min eig of L^-1 dM L^-T
     (solver.jl:1618-1693). Returns (alpha_f64, chol_ok)."""
     min_eig = jnp.float64(jnp.inf)
     ok = jnp.bool_(True)
     for j, cl in enumerate(ds.clusters):
         for l, b in enumerate(cl.blocks):
-            M, dM = Ms[j][l], dMs[j][l]
+            M, dMb = state[keyM][j][l], dM[j][l]
             if b.n == 1:
-                e = (dM[0][0, 0] + dM[1][0, 0]) / (M[0][0, 0] + M[1][0, 0])
+                e = (dMb[0][0, 0] + dMb[1][0, 0]) / (M[0][0, 0] + M[1][0, 0])
                 min_eig = jnp.minimum(min_eig, e)
                 continue
             L, okb = dl.dd_cholesky(M)
             ok = ok & okb
-            W = dl.dd_solve_tril(L, dM)
+            W = dl.dd_solve_tril(L, dMb)
             W2 = dl.dd_solve_tril(L, dl.dd_transpose(W))
             A64 = W2[0] + W2[1]
             A64 = 0.5 * (A64 + A64.T)
             eigs = jnp.linalg.eigvalsh(A64)
             min_eig = jnp.minimum(min_eig, eigs[0] - eig_safety * (1.0 + jnp.abs(eigs[0])))
+        if cl.s_nb:
+            e = (dMs[j][0] + dMs[j][1]) / (state[keyMs][j][0] + state[keyMs][j][1])
+            min_eig = jnp.minimum(min_eig, jnp.min(e))
     alpha = jnp.where(min_eig > -gamma, jnp.float64(1.0), -gamma / min_eig)
-    return alpha, ok, min_eig
+    return alpha, ok
 
 
-def _axpy_state(state, dx, dy, dX, dY, alpha_d, alpha_p):
-    x = [dd_add(xj, _mulf(dxj, alpha_d)) for xj, dxj in zip(state["x"], dx)]
-    y = dd_add(state["y"], _mulf(dy, alpha_p))
-    X = [[dd_add(Xb, _mulf(dXb, alpha_d)) for Xb, dXb in zip(Xc, dXc)]
+def _axpy_state(state, dx, dy, dX, dY, dXs, dYs, alpha_d, alpha_p):
+    x = [dd_add(xj, dd_mul_f64(dxj, alpha_d)) for xj, dxj in zip(state["x"], dx)]
+    y = dd_add(state["y"], dd_mul_f64(dy, alpha_p))
+    X = [[dd_add(Xb, dd_mul_f64(dXb, alpha_d)) for Xb, dXb in zip(Xc, dXc)]
          for Xc, dXc in zip(state["X"], dX)]
-    Y = [[dd_add(Yb, _mulf(dYb, alpha_p)) for Yb, dYb in zip(Yc, dYc)]
+    Y = [[dd_add(Yb, dd_mul_f64(dYb, alpha_p)) for Yb, dYb in zip(Yc, dYc)]
          for Yc, dYc in zip(state["Y"], dY)]
-    return {"x": x, "y": y, "X": X, "Y": Y}
-
-
-def _mulf(x, a):
-    from ..dd.core import dd_mul_f64
-
-    return dd_mul_f64(x, a)
+    Xs = [dd_add(a, dd_mul_f64(b, alpha_d)) for a, b in zip(state["Xs"], dXs)]
+    Ys = [dd_add(a, dd_mul_f64(b, alpha_p)) for a, b in zip(state["Ys"], dYs)]
+    return {"x": x, "y": y, "X": X, "Y": Y, "Xs": Xs, "Ys": Ys}
 
 
 # ---------------------------------------------------------------------------
@@ -302,10 +338,10 @@ def _mulf(x, a):
 
 def make_assess(ds: DeviceSDP):
     def assess(state):
-        Pres, pres, dres = _residuals(ds, state)
-        dual_error, primal_error = _errors(Pres, pres, dres)
+        Pres, Pres_s, pres, dres = _residuals(ds, state)
+        dual_error, primal_error = _errors(Pres, Pres_s, pres, dres)
         d_obj, p_obj, gap = _objectives(ds, state)
-        mu_dd = dd_div(_dot_state(state["X"], state["Y"]),
+        mu_dd = dd_div(_dot_state(ds, state, state),
                        (jnp.float64(ds.total_size), jnp.float64(0.0)))
         return {
             "dual_error": dual_error,
@@ -328,12 +364,12 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
     K = float(ds.total_size)
 
     def step(state, pd_feas_prev):
-        x, y, X, Y = state["x"], state["y"], state["X"], state["Y"]
+        X, Y, Xs, Ys = state["X"], state["Y"], state["Xs"], state["Ys"]
         ok = jnp.bool_(True)
 
         # step 3: mu and mu_p
-        mu = _dot_state(X, Y)
-        mu = dd_div(mu, (jnp.float64(K), jnp.float64(0.0)))
+        mu = dd_div(_dot_state(ds, state, state),
+                    (jnp.float64(K), jnp.float64(0.0)))
         if correctoronly:
             mu_p = mu
         else:
@@ -341,44 +377,54 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
                            jnp.float64(0.0)), mu)
 
         # chol(X) and X^-1 per block (solver.jl:387-400, 1117-1119)
-        cholX, Xinv = [], []
+        Xinv, Xinv_s = [], []
         for j, cl in enumerate(ds.clusters):
-            cx, xi = [], []
+            xi = []
             for l, b in enumerate(cl.blocks):
                 L, okb = dl.dd_cholesky(X[j][l])
                 ok = ok & okb
                 inv = dl.dd_solve_cholesky(L, dl.dd_eye(b.n))
-                inv = dl.dd_symmetrize(inv)
-                cx.append(L)
-                xi.append(inv)
-            cholX.append(cx)
+                xi.append(dl.dd_symmetrize(inv))
             Xinv.append(xi)
+            if cl.s_nb:
+                ok = ok & jnp.all(Xs[j][0] > 0)
+                Xinv_s.append(dd_div((jnp.ones(cl.s_nb), jnp.zeros(cl.s_nb)),
+                                     Xs[j]))
+            else:
+                Xinv_s.append(dl.dd_zeros((0,)))
 
-        # R_p = mu_p I - X Y (solver.jl:961-970)
-        def _residual_R(mu_val, with_corr=None):
-            Rs = []
+        # R = mu I - X Y [- dX dY] (solver.jl:961-983)
+        def _residual_R(mu_val, corr=None):
+            Rs, Rs_s = [], []
             for j, cl in enumerate(ds.clusters):
                 Rc = []
                 for l, b in enumerate(cl.blocks):
                     XY = dl.dd_matmul(X[j][l], Y[j][l])
                     Rb = dd_sub(dd_mul((mu_val[0], mu_val[1]), dl.dd_eye(b.n)), XY)
-                    if with_corr is not None:
-                        dXdY = dl.dd_matmul(with_corr[0][j][l], with_corr[1][j][l])
+                    if corr is not None:
+                        dXdY = dl.dd_matmul(corr[0][j][l], corr[1][j][l])
                         Rb = dd_sub(Rb, dXdY)
                     Rc.append(Rb)
                 Rs.append(Rc)
-            return Rs
+                if cl.s_nb:
+                    Rb = dd_sub(dd_mul(mu_val, (jnp.ones(cl.s_nb), jnp.zeros(cl.s_nb))),
+                                dd_mul(Xs[j], Ys[j]))
+                    if corr is not None:
+                        Rb = dd_sub(Rb, dd_mul(corr[2][j], corr[3][j]))
+                    Rs_s.append(Rb)
+                else:
+                    Rs_s.append(dl.dd_zeros((0,)))
+            return Rs, Rs_s
 
-        R = _residual_R(mu_p)
+        R, R_s = _residual_R(mu_p)
 
         # Schur complement per cluster + KKT decomposition (solver.jl:1229-1287)
-        Ss, cholSs, LinvBs = [], [], []
+        cholSs, LinvBs = [], []
         for j, cl in enumerate(ds.clusters):
-            S = _schur_cluster(cl, Xinv[j], Y[j])
+            S = _schur_cluster(cl, Xinv[j], Y[j], Xinv_s[j], Ys[j])
             L, okb = dl.dd_cholesky(S)
             ok = ok & okb
             LinvB = dl.dd_solve_tril(L, cl.B)
-            Ss.append(S)
             cholSs.append(L)
             LinvBs.append(LinvB)
         Q = dl.dd_zeros((ds.nfree, ds.nfree))
@@ -388,14 +434,14 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
         ok = ok & okq
 
         # residuals for the current point (solver.jl:413-417)
-        Pres, pres, dres = _residuals(ds, state)
-        dual_error, primal_error = _errors(Pres, pres, dres)
+        Pres, Pres_s, pres, dres = _residuals(ds, state)
+        dual_error, primal_error = _errors(Pres, Pres_s, pres, dres)
         pd_feas_now = (dual_error < dual_error_threshold) & \
                       (primal_error < primal_error_threshold)
 
-        def search_direction(Rcur):
+        def search_direction(Rcur, Rcur_s):
             # Z = X^-1 (P Y - R), symmetrized (solver.jl:1499-1515)
-            Zs = []
+            Zs, Zs_s = [], []
             for j, cl in enumerate(ds.clusters):
                 Zc = []
                 for l, b in enumerate(cl.blocks):
@@ -403,10 +449,15 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
                     Zb = dl.dd_matmul(Xinv[j][l], dd_sub(PY_, Rcur[j][l]))
                     Zc.append(dl.dd_symmetrize(Zb))
                 Zs.append(Zc)
+                if cl.s_nb:
+                    Zs_s.append(dd_mul(Xinv_s[j],
+                                       dd_sub(dd_mul(Pres_s[j], Ys[j]), Rcur_s[j])))
+                else:
+                    Zs_s.append(dl.dd_zeros((0,)))
             # rhs_x = -d - <A_*, Z>  (solver.jl:1519-1525)
             rhs_x = []
             for j, cl in enumerate(ds.clusters):
-                tA = _trace_A_cluster(cl, Zs[j])
+                tA = _trace_A_cluster(cl, Zs[j], Zs_s[j])
                 rhs_x.append(dd_sub((-dres[j][0], -dres[j][1]), tA))
             # 3-stage triangular solve (solver.jl:1527-1582)
             temp_x, temp_y = [], []
@@ -427,12 +478,13 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
                 dx.append((dxj[0][:, 0], dxj[1][:, 0]))
             dy = (dy[0][:, 0], dy[1][:, 0])
             # dX = sum_i dx_i A_i + P (solver.jl:1585-1594)
-            dX = []
+            dX, dXs = [], []
             for j, cl in enumerate(ds.clusters):
-                wA = _weighted_A_cluster(cl, dx[j])
+                wA, wA_s = _weighted_A_cluster(cl, dx[j])
                 dX.append([dd_add(w, Pb) for w, Pb in zip(wA, Pres[j])])
+                dXs.append(dd_add(wA_s, Pres_s[j]) if cl.s_nb else dl.dd_zeros((0,)))
             # dY = X^-1 (R - dX Y), symmetrized (solver.jl:1597-1613)
-            dY = []
+            dY, dYs = [], []
             for j, cl in enumerate(ds.clusters):
                 dYc = []
                 for l, b in enumerate(cl.blocks):
@@ -440,36 +492,42 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
                     dYb = dl.dd_matmul(Xinv[j][l], dd_sub(Rcur[j][l], dXY))
                     dYc.append(dl.dd_symmetrize(dYb))
                 dY.append(dYc)
-            return dx, dy, dX, dY
+                if cl.s_nb:
+                    dYs.append(dd_mul(Xinv_s[j],
+                                      dd_sub(Rcur_s[j], dd_mul(dXs[j], Ys[j]))))
+                else:
+                    dYs.append(dl.dd_zeros((0,)))
+            return dx, dy, dX, dY, dXs, dYs
 
         # predictor (solver.jl:420-425)
-        dx, dy, dX, dY = search_direction(R)
+        dx, dy, dX, dY, dXs, dYs = search_direction(R, R_s)
 
         # corrector mu (solver.jl:429-434)
-        r_num = dd_add(dd_add(_dot_state(X, Y), _dot_state(X, dY)),
-                       dd_add(_dot_state(dX, Y), _dot_state(dX, dY)))
+        dstate = {"X": dX, "Y": dY, "Xs": dXs, "Ys": dYs}
+        r_num = dd_add(
+            dd_add(_dot_state(ds, state, state), _dot_state(ds, state, dstate)),
+            dd_add(_dot_state(ds, dstate, state), _dot_state(ds, dstate, dstate)))
         r_val = (r_num[0] + r_num[1]) / ((mu[0] + mu[1]) * K)
         beta = jnp.where(r_val < 1.0, r_val ** 2, r_val)
         beta_c = jnp.where(pd_feas_now,
                            jnp.minimum(jnp.maximum(beta_feasible, beta), 1.0),
                            jnp.maximum(beta_infeasible, beta))
-        mu_c = _mulf(mu, beta_c)
+        mu_c = dd_mul_f64(mu, beta_c)
 
         # corrector direction (solver.jl:438-456)
-        Rc = _residual_R(mu_c, with_corr=(dX, dY))
-        dx, dy, dX, dY = search_direction(Rc)
+        Rc, Rc_s = _residual_R(mu_c, corr=(dX, dY, dXs, dYs))
+        dx, dy, dX, dY, dXs, dYs = search_direction(Rc, Rc_s)
 
         # step lengths (solver.jl:460-465)
-        alpha_d, ok_a1, me1 = _step_length_blocks(ds, X, dX, gamma, eig_safety)
-        alpha_p, ok_a2, me2 = _step_length_blocks(ds, Y, dY, gamma, eig_safety)
+        alpha_d, ok_a1 = _step_length(ds, state, "X", "Xs", dX, dXs, gamma, eig_safety)
+        alpha_p, ok_a2 = _step_length(ds, state, "Y", "Ys", dY, dYs, gamma, eig_safety)
         ok = ok & ok_a1 & ok_a2
         if safe_step:
-            both = pd_feas_now
             a = jnp.minimum(alpha_p, alpha_d)
-            alpha_p = jnp.where(both, a, alpha_p)
-            alpha_d = jnp.where(both, a, alpha_d)
+            alpha_p = jnp.where(pd_feas_now, a, alpha_p)
+            alpha_d = jnp.where(pd_feas_now, a, alpha_d)
 
-        new_state = _axpy_state(state, dx, dy, dX, dY, alpha_d, alpha_p)
+        new_state = _axpy_state(state, dx, dy, dX, dY, dXs, dYs, alpha_d, alpha_p)
         d_obj, p_obj, gap = _objectives(ds, new_state)
 
         info = {
