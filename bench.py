@@ -1,0 +1,68 @@
+"""Benchmark: IPM iterations/s on the Delsarte LP bound (BASELINE.json config 3).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference repo's only timing datapoint is ~18 ms/iteration
+(~55.6 it/s) for the polyopt example on the authors' machine
+(reference docs/src/solving.md:46); vs_baseline = ours / 55.6.
+
+Runs on whatever accelerator JAX picks (the real TPU chip under the driver).
+Note (round 1): on this TPU the emulated f64 is non-IEEE, so the double-word
+arithmetic is approximate there; the benchmark measures per-iteration
+throughput of the identical computation graph. See NOTES_TPU_NUMERICS.md.
+"""
+
+import json
+import time
+from fractions import Fraction
+
+import jax
+
+import clrs_tpu  # noqa: F401  (sets x64 + XLA flags)
+from clrs_tpu.compile.sdp import ClusteredLowRankSDP
+from clrs_tpu.solver.step import DeviceSDP, initial_state, make_step
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent / "examples"))
+from delsarte import delsarte_problem  # noqa: E402
+
+BASELINE_ITERS_PER_S = 1000.0 / 18.0  # reference: ~18 ms/iter
+
+
+def main():
+    problem = delsarte_problem(3, 10, Fraction(1, 2))
+    sdp = ClusteredLowRankSDP(problem)
+    ds = DeviceSDP(sdp)
+    step = make_step(ds, gamma=0.9, beta_feasible=0.1, beta_infeasible=0.3,
+                     dual_error_threshold=1e-12, primal_error_threshold=1e-12)
+    # omega small: keeps every intermediate inside the TPU f64-emulation's
+    # sane exponent window (see NOTES_TPU_NUMERICS.md)
+    state = initial_state(ds, 100.0, 100.0)
+
+    # warmup/compile
+    new_state, info = step(state, False)
+    jax.block_until_ready(new_state["x"][0][0])
+
+    n_iters = 20
+    t0 = time.time()
+    st = state
+    feas = False
+    for _ in range(n_iters):
+        st, info = step(st, feas)
+        feas = bool(info["pd_feas"])  # host sync, as in the real solve loop
+    jax.block_until_ready(st["x"][0][0])
+    dt = time.time() - t0
+
+    value = n_iters / dt
+    print(json.dumps({
+        "metric": "ipm_iterations_per_s_delsarte_3_10",
+        "value": value,
+        "unit": "iterations/s",
+        "vs_baseline": value / BASELINE_ITERS_PER_S,
+    }))
+
+
+if __name__ == "__main__":
+    main()

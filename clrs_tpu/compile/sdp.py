@@ -117,11 +117,20 @@ class ScalarPack:
     """
 
     names: List[Any]                                 # B block names
-    a: Tuple[np.ndarray, np.ndarray]                 # dd [B, P] coefficients
-    C: Tuple[np.ndarray, np.ndarray]                 # dd [B] objective coeffs
+    a: Tuple[np.ndarray, np.ndarray]                 # dd [B_pad, P] coefficients
+    C: Tuple[np.ndarray, np.ndarray]                 # dd [B_pad] objective coeffs
+    mask: np.ndarray = None                          # f64 [B_pad]: 1 real, 0 pad
+
+    def __post_init__(self):
+        if self.mask is None:
+            self.mask = np.ones(self.a[0].shape[0])
 
     @property
     def nblocks(self):
+        return self.a[0].shape[0]
+
+    @property
+    def nreal(self):
         return len(self.names)
 
 
@@ -137,11 +146,15 @@ class ClusterData:
 class ClusteredLowRankSDP:
     """Compiled clustered low-rank SDP (interface.jl:807-819 equivalent)."""
 
-    def __init__(self, problem: Problem, verbose: bool = False):
+    def __init__(self, problem: Problem, verbose: bool = False,
+                 scalar_pad: int = 1):
+        """scalar_pad: pad each cluster's scalar-pack axis to a multiple of
+        this (for sharding the pack axis over a device mesh)."""
         self.maximize = problem.maximize
         self.constant = DDScalar(problem.objective.constant)
         (self.clusters, self.b, self.free_names, self.order_c,
-         self.matrix_coeff_names, self.matrix_coeff_blocks) = _compile(problem, verbose)
+         self.matrix_coeff_names, self.matrix_coeff_blocks) = _compile(
+             problem, verbose, scalar_pad)
 
     @property
     def nfree(self):
@@ -188,7 +201,7 @@ def _block_grid_info(constraints_in_cluster, problem):
     return subblocksizes, nsub, dense, useblock, names
 
 
-def _compile(problem: Problem, verbose: bool):
+def _compile(problem: Problem, verbose: bool, scalar_pad: int = 1):
     cons = problem.constraints
     # ---- clustering (interface.jl:849-912) -------------------------------
     clusters_names: List[set] = []
@@ -322,9 +335,17 @@ def _compile(problem: Problem, verbose: bool):
                         m if isinstance(m, np.ndarray) else np.array(m, dtype=object))
                     C0_obj[sidx[nm]] = hp_add(C0_obj[sidx[nm]],
                                               md.reshape(-1)[0])
+            a_dd = _dd_obj_array(a_obj)
+            C0_dd = _dd_obj_array(C0_obj)
+            npad = (-nb) % scalar_pad
+            mask = np.ones(nb + npad)
+            if npad:
+                mask[nb:] = 0.0
+                a_dd = tuple(np.pad(x, ((0, npad), (0, 0))) for x in a_dd)
+                C0_dd = tuple(np.pad(x, (0, npad)) for x in C0_dd)
             scalars = ScalarPack(
                 names=[(names[nm], useblock[nm]) for nm in scalar_names],
-                a=_dd_obj_array(a_obj), C=_dd_obj_array(C0_obj))
+                a=a_dd, C=C0_dd, mask=mask)
 
         # ---- blocks -------------------------------------------------------
         blocks = []

@@ -335,9 +335,10 @@ def _warm_start(ds, sdp, state, dualsol: DualSolution, primalsol: PrimalSolution
         X.append(Xc)
         Y.append(Yc)
         nb = cl.scalars.nblocks if cl.scalars is not None else 0
-        xsh = np.zeros(nb)
+        # padding entries stay at 1 (they are untouched identity blocks)
+        xsh = np.ones(nb)
         xsl = np.zeros(nb)
-        ysh = np.zeros(nb)
+        ysh = np.ones(nb)
         ysl = np.zeros(nb)
         if cl.scalars is not None:
             for bidx, (name, use_block) in enumerate(cl.scalars.names):

@@ -72,6 +72,7 @@ class _DevCluster:
     blocks: List[_DevBlock]
     sa: Any = None          # dd [Bs, P] scalar-pack coefficients
     sC: Any = None          # dd [Bs]
+    smask: Any = None       # f64 [Bs]: 1 real, 0 padding
     s_nb: int = 0
 
 
@@ -108,10 +109,12 @@ class DeviceSDP:
             if cl.scalars is not None:
                 dc.sa = _dd(cl.scalars.a)
                 dc.sC = _dd(cl.scalars.C)
+                dc.smask = jnp.asarray(cl.scalars.mask)
                 dc.s_nb = cl.scalars.nblocks
+                dc.s_nreal = cl.scalars.nreal
             self.clusters.append(dc)
         self.total_size = sum(b.n for cl in self.clusters for b in cl.blocks) \
-            + sum(cl.s_nb for cl in self.clusters)
+            + sum(getattr(cl, 's_nreal', 0) or 0 for cl in self.clusters)
         self.total_rows = sum(cl.nrows for cl in self.clusters)
 
 
@@ -221,7 +224,8 @@ def _dot_state(ds, A, B, keyX="X", keyXs="Xs", keyY="Y", keyYs="Ys"):
         for Xb, Yb in zip(A[keyX][j], B[keyY][j]):
             tot = dd_add(tot, dl.dd_dot(Xb, Yb))
         if ds.clusters[j].s_nb:
-            tot = dd_add(tot, dl.dd_dot(A[keyXs][j], B[keyYs][j]))
+            tot = dd_add(tot, dl.dd_dot(
+                _dd_scale(A[keyXs][j], ds.clusters[j].smask), B[keyYs][j]))
     return tot
 
 
@@ -248,8 +252,8 @@ def _residuals(ds: DeviceSDP, state):
               for l, b in enumerate(cl.blocks)]
         Pres.append(Pc)
         if cl.s_nb:
-            Pres_s.append(dd_sub(dd_sub(wA_s, state["Xs"][j]),
-                                 _dd_scale(cl.sC, ds.sign)))
+            Ps = dd_sub(dd_sub(wA_s, state["Xs"][j]), _dd_scale(cl.sC, ds.sign))
+            Pres_s.append(_dd_scale(Ps, cl.smask))
         else:
             Pres_s.append(dl.dd_zeros((0,)))
         By = dl.dd_matmul(cl.B, (y[0][:, None], y[1][:, None]))
@@ -311,8 +315,15 @@ def _step_length(ds, state, keyM, keyMs, dM, dMs, gamma, eig_safety):
             W2 = dl.dd_solve_tril(L, dl.dd_transpose(W))
             A64 = W2[0] + W2[1]
             A64 = 0.5 * (A64 + A64.T)
-            eigs = jnp.linalg.eigvalsh(A64)
-            min_eig = jnp.minimum(min_eig, eigs[0] - eig_safety * (1.0 + jnp.abs(eigs[0])))
+            # float64 eigh like the reference's Float64 Lanczos
+            # (solver.jl:1659); f32 on TPU, where f64 lapack is unavailable.
+            if jax.default_backend() == "tpu":
+                eigs = jnp.linalg.eigvalsh(A64.astype(jnp.float32)).astype(jnp.float64)
+                safety = 1e-5
+            else:
+                eigs = jnp.linalg.eigvalsh(A64)
+                safety = eig_safety
+            min_eig = jnp.minimum(min_eig, eigs[0] - safety * (1.0 + jnp.abs(eigs[0])))
         if cl.s_nb:
             e = (dMs[j][0] + dMs[j][1]) / (state[keyMs][j][0] + state[keyMs][j][1])
             min_eig = jnp.minimum(min_eig, jnp.min(e))
@@ -411,7 +422,7 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
                                 dd_mul(Xs[j], Ys[j]))
                     if corr is not None:
                         Rb = dd_sub(Rb, dd_mul(corr[2][j], corr[3][j]))
-                    Rs_s.append(Rb)
+                    Rs_s.append(_dd_scale(Rb, cl.smask))
                 else:
                     Rs_s.append(dl.dd_zeros((0,)))
             return Rs, Rs_s

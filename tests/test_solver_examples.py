@@ -1,0 +1,40 @@
+"""End-to-end oracle tests mirroring the reference test strategy
+(reference test/runtests_solver.jl:6-28): solve known problems, check
+objective values."""
+
+import sys
+from fractions import Fraction
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+
+from clrs_tpu.solver.status import objvalue, optimal  # noqa: E402
+
+
+def test_polyopt_x2_plus_1():
+    """Oracle: min of x^2+1 is 1 (reference README.md:188)."""
+    from polyopt import polyopt
+
+    from clrs_tpu import polynomial_ring
+
+    R, x = polynomial_ring("x")
+    problem, status, dualsol, primalsol, code = polyopt(
+        x ** 2 + 1, 1, omega_p=100.0, omega_d=100.0, verbose=False,
+        dual_error_threshold=1e-12, primal_error_threshold=1e-12)
+    assert code == 0
+    assert optimal(status)
+    assert abs(float(objvalue(problem, primalsol)) - 1.0) < 1e-10
+
+
+def test_delsarte_3_10():
+    """Oracle: delsarte(3,10,1/2) ~ 13.158314 (runtests_solver.jl:15)."""
+    from delsarte import delsarte
+
+    problem, status, dualsol, primalsol, code = delsarte(
+        3, 10, Fraction(1, 2), omega_p=100.0, omega_d=100.0, verbose=False,
+        dual_error_threshold=1e-12, primal_error_threshold=1e-12)
+    assert code == 0
+    assert optimal(status)
+    assert abs(float(objvalue(problem, primalsol)) - 13.158314) < 1e-5
