@@ -38,3 +38,15 @@ def test_delsarte_3_10():
     assert code == 0
     assert optimal(status)
     assert abs(float(objvalue(problem, primalsol)) - 13.158314) < 1e-5
+
+
+def test_min_f_s3_invariant():
+    """Oracle: min_f(2) ~ -2.1129 (reference docs/src/solving.md:38-44)."""
+    from polyopt import min_f
+
+    problem, status, dualsol, primalsol, code = min_f(
+        2, verbose=False, omega_p=100.0, omega_d=100.0,
+        dual_error_threshold=1e-12, primal_error_threshold=1e-12)
+    assert code == 0
+    assert optimal(status)
+    assert abs(float(objvalue(problem, primalsol)) - (-2.1129138814)) < 1e-6
