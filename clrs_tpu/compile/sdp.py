@@ -147,14 +147,37 @@ class ClusteredLowRankSDP:
     """Compiled clustered low-rank SDP (interface.jl:807-819 equivalent)."""
 
     def __init__(self, problem: Problem, verbose: bool = False,
-                 scalar_pad: int = 1):
+                 scalar_pad: int = 1, equilibrate_free: bool = True):
         """scalar_pad: pad each cluster's scalar-pack axis to a multiple of
-        this (for sharding the pack axis over a device mesh)."""
+        this (for sharding the pack axis over a device mesh).
+
+        equilibrate_free: rescale each free variable by an exact power of two
+        so the columns of B have comparable magnitude. This bounds the
+        condition number of Q = B^T S^-1 B independently of the user's
+        variable scaling (e.g. the Cohn-Elkies k!/pi^k coefficients span
+        1e48, which would otherwise need ~512-bit arithmetic like the
+        reference uses; see examples/SpherePacking.jl's own comment about
+        "extremely large" numbers). Solutions are unscaled on extraction,
+        so this is invisible to the user.
+        """
         self.maximize = problem.maximize
         self.constant = DDScalar(problem.objective.constant)
         (self.clusters, self.b, self.free_names, self.order_c,
          self.matrix_coeff_names, self.matrix_coeff_blocks) = _compile(
              problem, verbose, scalar_pad)
+        n = self.b[0].shape[0]
+        self.free_scale = np.ones(n)
+        if equilibrate_free and n:
+            colmax = np.zeros(n)
+            for cl in self.clusters:
+                if cl.B[0].size:
+                    colmax = np.maximum(
+                        colmax, np.abs(cl.B[0]).max(axis=0))
+            colmax = np.maximum(colmax, 1e-300)
+            self.free_scale = 2.0 ** np.round(np.log2(colmax))
+            for cl in self.clusters:
+                cl.B = (cl.B[0] / self.free_scale, cl.B[1] / self.free_scale)
+            self.b = (self.b[0] / self.free_scale, self.b[1] / self.free_scale)
 
     @property
     def nfree(self):

@@ -245,6 +245,11 @@ def _extract(ds, sdp: ClusteredLowRankSDP, state, post=None):
     yh, yl = np.asarray(state["y"][0]), np.asarray(state["y"][1])
     if post is not None:
         x, (yh, yl) = post(x, (yh, yl))
+    # undo the exact power-of-two free-variable equilibration
+    scale = getattr(sdp, "free_scale", None)
+    if scale is not None and yh.size:
+        yh = yh / scale
+        yl = yl / scale
 
     matrixvars = {}
     matrixvars_dual = {}
@@ -279,10 +284,11 @@ def _extract(ds, sdp: ClusteredLowRankSDP, state, post=None):
     for i, k in enumerate(sdp.free_names):
         freevars[k] = DDScalar(float(yh[i]), float(yl[i]))
 
-    ncons = max((ci for (ci, si) in sdp.order_c), default=-1) + 1
+    order_c = getattr(sdp, "_original_order_c", sdp.order_c)
+    ncons = max((ci for (ci, si) in order_c), default=-1) + 1
     x_orig = [[] for _ in range(ncons)]
-    for (ci, si) in sorted(sdp.order_c.keys()):
-        j, row = sdp.order_c[(ci, si)]
+    for (ci, si) in sorted(order_c.keys()):
+        j, row = order_c[(ci, si)]
         x_orig[ci].append(DDScalar(float(x[j][0][row]), float(x[j][1][row])))
 
     return (DualSolution(x_orig, matrixvars_dual),
@@ -348,11 +354,21 @@ def _warm_start(ds, sdp, state, dualsol: DualSolution, primalsol: PrimalSolution
         Xs.append((jnp.asarray(xsh), jnp.asarray(xsl)))
         Ys.append((jnp.asarray(ysh), jnp.asarray(ysl)))
 
-    yh = np.zeros(sdp.nfree)
-    yl = np.zeros(sdp.nfree)
+    names = getattr(sdp, "free_names_reduced", sdp.free_names)
+    scale = getattr(sdp, "free_scale", None)
+    name_to_full = {id(None): None}
+    full_index = { }
     for i, k in enumerate(sdp.free_names):
+        full_index[str(k)] = i
+    yh = np.zeros(len(names))
+    yl = np.zeros(len(names))
+    for i, k in enumerate(names):
         if k in primalsol.freevars:
             yh[i], yl[i] = to_dd(primalsol.freevars[k])
+            if scale is not None:
+                sk = scale[full_index[str(k)]]
+                yh[i] *= sk
+                yl[i] *= sk
 
     return {
         "x": [(jnp.asarray(h), jnp.asarray(l)) for h, l in x],

@@ -377,6 +377,8 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
     def step(state, pd_feas_prev):
         X, Y, Xs, Ys = state["X"], state["Y"], state["Xs"], state["Ys"]
         ok = jnp.bool_(True)
+        ok_X = jnp.bool_(True)
+        ok_S = jnp.bool_(True)
 
         # step 3: mu and mu_p
         mu = dd_div(_dot_state(ds, state, state),
@@ -394,6 +396,7 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
             for l, b in enumerate(cl.blocks):
                 L, okb = dl.dd_cholesky(X[j][l])
                 ok = ok & okb
+                ok_X = ok_X & okb
                 inv = dl.dd_solve_cholesky(L, dl.dd_eye(b.n))
                 xi.append(dl.dd_symmetrize(inv))
             Xinv.append(xi)
@@ -435,6 +438,7 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
             S = _schur_cluster(cl, Xinv[j], Y[j], Xinv_s[j], Ys[j])
             L, okb = dl.dd_cholesky(S)
             ok = ok & okb
+            ok_S = ok_S & okb
             LinvB = dl.dd_solve_tril(L, cl.B)
             cholSs.append(L)
             LinvBs.append(LinvB)
@@ -553,6 +557,9 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
             "p_obj": p_obj[0] + p_obj[1],
             "dual_gap": gap,
             "ok": ok,
+            "ok_X": ok_X,
+            "ok_S": ok_S,
+            "ok_Q": okq,
         }
         return new_state, info
 

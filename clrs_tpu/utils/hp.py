@@ -283,3 +283,24 @@ def hp_add(a, b):
         return a
     x, y = promote_pair(a, b)
     return x + y
+
+
+def gamma_half(q, digits: int = HOST_DIGITS) -> Decimal:
+    """Gamma(q) for q a positive multiple of 1/2 (Decimal)."""
+    q = to_fraction(q)
+    if q <= 0 or (2 * q).denominator != 1:
+        raise ValueError("gamma_half needs a positive half-integer")
+    with localcontext() as ctx:
+        ctx.prec = digits + 10
+        if q.denominator == 1:
+            out = Decimal(1)
+            k = int(q)
+            for i in range(2, k):
+                out *= i
+            return out
+        out = pi(digits).sqrt()
+        x = Fraction(1, 2)
+        while x < q:
+            out *= _as_decimal(x, digits)
+            x += 1
+        return +out

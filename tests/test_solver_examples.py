@@ -50,3 +50,15 @@ def test_min_f_s3_invariant():
     assert code == 0
     assert optimal(status)
     assert abs(float(objvalue(problem, primalsol)) - (-2.1129138814)) < 1e-6
+
+
+def test_cohnelkies_sphere_packing_d3():
+    """Cohn-Elkies dim 8, d=3 (value pinned from two independent
+    formulations of reference examples/SpherePacking.jl:117-185; the full
+    d=15 oracle pi^4/384 needs >106-bit arithmetic, see the example docs)."""
+    from spherepacking import cohnelkies
+
+    problem, status, dualsol, primalsol, code = cohnelkies(
+        8, 3, verbose=False, omega_p=100.0, omega_d=100.0,
+        dual_error_threshold=1e-10, primal_error_threshold=1e-10)
+    assert abs(float(objvalue(problem, primalsol)) - 0.3255058828303) < 1e-8
