@@ -245,12 +245,20 @@ class DDScalar:
 getcontext().prec = HOST_DIGITS
 
 
+_STD_TYPES = (int, float, Fraction, Decimal)
+
+
 def promote_pair(a, b):
     """Promote two host scalars to a common arithmetic domain.
 
     Ladder: Decimal > DDScalar > Fraction > int. floats are promoted exactly
-    into Fraction (binary floats are exact rationals).
+    into Fraction (binary floats are exact rationals). Non-standard operands
+    (polynomials, sampled polynomials, number-field elements) are passed
+    through: their own operator overloads handle mixing.
     """
+    if not isinstance(a, _STD_TYPES + (DDScalar,)) \
+            or not isinstance(b, _STD_TYPES + (DDScalar,)):
+        return a, b
     types = (type(a), type(b))
     if Decimal in types:
         return _as_decimal(a), _as_decimal(b)
