@@ -195,13 +195,17 @@ def detecteigenvectors(dualblock, primalblock, FF, g, settings, verbose=True):
 # ---------------------------------------------------------------------------
 
 def _reduction_step(kernelvecs):
+    ambient = len(kernelvecs[0])
     nullity, X = nullspace_from_rref(kernelvecs)
     ns = transpose(X)  # rows are nullspace vectors
     ns = integerize_rows(ns)
     ns_int = [[int(x) for x in row] for row in ns]
+    if not ns_int:
+        # kernel vectors span everything (rounding.jl:1086)
+        return ambient, [[1 if i == j else 0 for j in range(ambient)]
+                         for i in range(ambient)]
     # [H; 0] = T ns^T -> the last columns of T^T span the nullspace of ns
-    H, T = hnf_normalmultiplier_with_transform(transpose(ns_int) if ns_int
-                                               else [[0] * len(kernelvecs[0])])
+    H, T = hnf_normalmultiplier_with_transform(transpose(ns_int))
     kernel_dim = 0
     nrowsH = len(H)
     for i in range(nrowsH - 1, -1, -1):
@@ -219,14 +223,19 @@ def simplify_kernelvectors(m_block, finalvectors, FF, g, settings, verbose=True)
     deg = 1 if (FF is QQ or FF is None) else FF.degree
     if deg > 1:
         z = FF.gen()
+
+        def _c(v, k):
+            return v.coeffs[k] if isinstance(v, NFElem) else (
+                to_fraction(v) if k == 0 else Fraction(0))
+
         lst = []
         for v in finalvectors:
             for i in range(deg):
-                vi = [x * z ** i for x in v]
-                for k in range(deg):
-                    lst.append([c.coeffs[k] if isinstance(c, NFElem)
-                                else (to_fraction(c) if k == 0 else Fraction(0))
-                                for c in vi])
+                vi = [x * z ** i if isinstance(x, NFElem) else FF(x) * z ** i
+                      for x in v]
+                # QQ-structure row: concat over powers k of the coefficient
+                # vectors (rounding.jl:868)
+                lst.append([_c(c, k) for k in range(deg) for c in vi])
         # deduplicate rows
         seen = set()
         lst = [r for r in lst if not (tuple(r) in seen or seen.add(tuple(r)))]
@@ -401,10 +410,7 @@ def basis_transformations(dualsol: DualSolution, sol: PrimalSolution, FF, g,
                 Binv[i] = [x * l for x in Binv[i]]
             for i in range(len(B)):
                 B[i] = [x / lcms[j] for j, x in enumerate(B[i])]
-        kd = num_kernelvecs * deg if deg == 1 else num_kernelvecs * 1
-        # number of kernel columns in B:
-        kd = num_kernelvecs if deg == 1 else min(N, num_kernelvecs * deg)
-        Bs[k] = (transpose(B), Binv, kd)
+        Bs[k] = (transpose(B), Binv, num_kernelvecs)
     return Bs
 
 
@@ -566,18 +572,21 @@ def _roundx_vec(x, power):
 def project_affine(problem, sol, FF, g, settings, monomial_bases, verbose=True):
     extra_redundancy = 0
     rng = random.Random(42)
+    is_field = FF is not QQ and FF is not None
     while True:
         columns = select_columns(problem, sol,
                                  settings.redundancyfactor + extra_redundancy,
                                  verbose=verbose, rng=rng)
-        x = vectorize(sol)
-        x = _roundx_vec(x, settings.approximation_decimals)
-        xsol = as_primal_solution(sol, x)
-        A, b = partial_linearsystem(problem, xsol, columns,
-                                    monomial_bases=monomial_bases)
-        if FF is not QQ and FF is not None:
-            A, b, columns, x = _convert_field_system(A, b, columns, x, FF, g,
-                                                     settings)
+        if not is_field:
+            x = vectorize(sol)
+            x = _roundx_vec(x, settings.approximation_decimals)
+            xsol = as_primal_solution(sol, x)
+            A, b = partial_linearsystem(problem, xsol, columns,
+                                        monomial_bases=monomial_bases)
+        else:
+            A, b, x, columns = _field_rational_system(
+                problem, sol, FF, g, columns, monomial_bases, settings,
+                verbose=verbose)
         x_extra, correct_slacks, finished = _project_affine_system(
             A, b, settings, verbose=verbose)
         if not finished and len(x) > len(columns):
@@ -587,18 +596,114 @@ def project_affine(problem, sol, FF, g, settings, monomial_bases, verbose=True):
             raise ValueError("The system is inconsistent but all columns used")
         for jj, i in enumerate(columns):
             x[i] = x[i] + x_extra[jj]
-        if FF is not QQ and FF is not None:
+        if is_field:
             x = _x_to_field(x, FF)
         return as_primal_solution(sol, x), correct_slacks
 
 
-def _convert_field_system(A, b, columns, x, FF, g, settings):
-    raise NotImplementedError(
-        "number-field affine projection lands with the field-rounding milestone")
+def convert_system(FF, A, b):
+    """Field system over FF -> block system over QQ (rounding.jl:1256-1282):
+    sum_i A_i g^i acting on sum_j x_j g^j, matched per power g^k."""
+    deg = FF.degree
+    z = FF.gen()
+
+    def _c(v, k):
+        if isinstance(v, NFElem):
+            return v.coeffs[k]
+        return to_fraction(v) if k == 0 else Fraction(0)
+
+    n = len(A)
+    m = len(A[0]) if n else 0
+    Ai = [[[_c(A[r][c], k) for c in range(m)] for r in range(n)]
+          for k in range(deg)]
+    btot = [_c(b[r], k) for k in range(deg) for r in range(n)]
+    Atot = [[Fraction(0)] * (m * deg) for _ in range(n * deg)]
+    for i in range(deg):
+        for j in range(deg):
+            cur = z ** (i + j)
+            for k in range(deg):
+                ck = cur.coeffs[k] if isinstance(cur, NFElem) else (
+                    to_fraction(cur) if k == 0 else Fraction(0))
+                if ck != 0:
+                    for r in range(n):
+                        Arow = Ai[i][r]
+                        out = Atot[n * k + r]
+                        for c in range(m):
+                            if Arow[c] != 0:
+                                out[m * j + c] += ck * Arow[c]
+    return Atot, btot
+
+
+def _field_rational_system(problem, sol, FF, g, columns, monomial_bases,
+                           settings, verbose=True):
+    """get_rational_system for number fields (rounding.jl:1299-1330)."""
+    from ..model.linearsystem import (linearsystem,
+                                      linearsystem_coefficientmatching)
+
+    deg = FF.degree
+    if monomial_bases is None:
+        A, b = linearsystem(problem)
+    else:
+        A, b = linearsystem_coefficientmatching(problem, monomial_bases)
+    nvars = len(A[0])
+    A, b = convert_system(FF, A, b)
+    x = vectorize(sol)
+
+    # approximate the higher-power components by regularized least squares
+    # (rounding.jl:537-568), in extended (longdouble) precision
+    Af = np.array([[float(v) for v in row] for row in A], dtype=np.longdouble)
+    bf = np.array([float(v) for v in b], dtype=np.longdouble)
+    xf = np.array([float(v) for v in x], dtype=np.longdouble)
+    gf = np.longdouble(float(g))
+    m = len(x)
+    Acols = Af[:, :m]
+    rhs = bf - Acols @ xf
+    for j in range(1, deg):
+        Af[:, m * j: m * (j + 1)] -= gf ** j * Acols
+    B = Af[:, m:]
+    reg = np.longdouble(settings.regularization)
+    lhs = B.T @ B + reg * np.eye(B.shape[1], dtype=np.longdouble)
+    y = np.linalg.solve(lhs.astype(np.float64), (B.T @ rhs).astype(np.float64))
+    y = y.astype(np.longdouble)
+
+    power = settings.approximation_decimals
+    x_dd = [v.as_fraction() if isinstance(v, DDScalar) else to_fraction(v)
+            for v in x]
+    gfr = to_fraction(g)
+    x0 = list(x_dd)
+    for i in range(1, deg):
+        for t in range(m):
+            x0[t] = x0[t] - gfr ** i * Fraction(float(y[m * (i - 1) + t]))
+    x0 = _roundx_vec(x0, power)
+    xfinal = x0 + _roundx_vec([Fraction(float(v)) for v in y], power)
+
+    # error system: b <- b - A x_rounded, restricted to expanded columns
+    bnew = []
+    for r in range(len(A)):
+        acc = b[r]
+        row = A[r]
+        for c in range(len(row)):
+            if row[c] != 0 and xfinal[c] != 0:
+                acc = acc - row[c] * xfinal[c]
+        bnew.append(acc)
+    exp_columns = [i + nvars * k for i in columns for k in range(deg)]
+    Asub = [[row[c] for c in exp_columns] for row in A]
+    return Asub, bnew, xfinal, exp_columns
 
 
 def _x_to_field(x, FF):
-    raise NotImplementedError
+    """x = concat of x_j with value sum_j x_j g^j (rounding.jl:1332-1341)."""
+    deg = FF.degree
+    z = FF.gen()
+    n = len(x) // deg
+    out = []
+    for i in range(n):
+        v = FF(0)
+        for k in range(deg):
+            if x[n * k + i] != 0:
+                v = v + FF(x[n * k + i]) * z ** k
+        out.append(v)
+    return out
 
 
 def _project_affine_system(A, b, settings, verbose=True):

@@ -56,3 +56,71 @@ def test_exact_stack_primitives():
     b = [Fraction(5), Fraction(10)]
     xs = solve_dixon(A, b)
     assert xs == [Fraction(1), Fraction(3)]
+
+
+def test_delsarte_field_rounding_12():
+    """delsarte(3,2,1/sqrt5) rounds to exactly 12 over Q(sqrt5)
+    (reference runtests_solver.jl:124 uses the same oracle)."""
+    from decimal import Decimal
+
+    from clrs_tpu.exact.field import NumberField
+    from delsarte_exact import delsarte_round
+
+    FF = NumberField([-5, 0, 1], "z", approx_root=Decimal(5).sqrt())
+    costheta = FF.gen().inverse()
+    success, problem, esol = delsarte_round(
+        3, 2, costheta, FF=FF, g=Decimal(5).sqrt(), eps=1e-20,
+        omega_p=100.0, omega_d=100.0, verbose=False,
+        dual_error_threshold=1e-16, primal_error_threshold=1e-16,
+        settings=RoundingSettings(kernel_errbound=1e-8))
+    assert success
+    assert objvalue(problem, esol) == 12
+
+
+def test_find_field_recovers_sqrt5():
+    """find_field recovers a field containing sqrt5 from the numerical
+    solution (reference runtests_solver.jl:98-105)."""
+    from decimal import Decimal
+
+    from clrs_tpu.exact.field import NumberField
+    from clrs_tpu.round.find_field import find_field, to_field
+    from delsarte_exact import delsarte_exact
+
+    FF = NumberField([-5, 0, 1], "z", approx_root=Decimal(5).sqrt())
+    costheta = FF.gen().inverse()
+    obj, problem, dualsol, primalsol, code = delsarte_exact(
+        3, 2, costheta, FF=FF, g=Decimal(5).sqrt(), eps=1e-20,
+        omega_p=100.0, omega_d=100.0, verbose=False,
+        dual_error_threshold=1e-16, primal_error_threshold=1e-16)
+    N2, g2 = find_field(dualsol, primalsol, 4, valbound=1e-10, errbound=1e-12)
+    assert hasattr(N2, "degree") and N2.degree == 2
+    gapprox = Decimal(5).sqrt()
+    ginfield = to_field(gapprox, N2, g2, errbound=1e-12)
+    assert abs(float(ginfield.embed(g2)) - float(gapprox)) < 1e-10
+
+
+def test_rounding_settings_sweep():
+    """Reduced version of the reference's 7-boolean cartesian sweep
+    (runtests_solver.jl:112-161): key setting combinations all succeed."""
+    from fractions import Fraction as F
+
+    from delsarte_exact import delsarte_exact
+    from clrs_tpu import polynomial_ring
+
+    obj, problem, dualsol, primalsol, code = delsarte_exact(
+        8, 3, F(1, 2), omega_p=100.0, omega_d=100.0, verbose=False,
+        dual_error_threshold=1e-15, primal_error_threshold=1e-15)
+    R, x = polynomial_ring("x")
+    mb = [x ** k for k in range(7)]
+    for reduce_kv in (True, False):
+        for unimod in (True, False):
+            for pseudo in (True, False):
+                settings = RoundingSettings(
+                    reduce_kernelvectors=reduce_kv,
+                    unimodular_transform=unimod, pseudo=pseudo)
+                for bases in (None, [mb]):
+                    success, esol = exact_solution(
+                        problem, dualsol, primalsol, settings=settings,
+                        monomial_bases=bases, verbose=False)
+                    assert success, (reduce_kv, unimod, pseudo, bases)
+                    assert objvalue(problem, esol) == 240
