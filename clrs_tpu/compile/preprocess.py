@@ -134,39 +134,40 @@ def _vectorize_rows_exact(sdp):
 
 
 def _exact_dependencies(M):
-    """Gaussian elimination over Q: returns (dep, combos) where dep is the
-    list of dependent row indices (in input order) and combos[k] maps each
-    dependent row to its decomposition {indep_row: coeff}."""
+    """Gaussian elimination over Q tracking each row's expression in the
+    original rows. Returns (deps, dep_in_orig): dependent row indices and,
+    for each, {independent_orig_row: coeff} with
+    row_dep = sum coeff * row_orig."""
     if not M:
         return [], []
     ncols = len(M[0])
-    basis = []           # list of (reduced_row, {orig_idx: coeff}) with pivot info
-    pivots = []          # pivot column per basis row
+    basis = []        # reduced rows
+    pivots = []       # pivot column per basis row
+    basis_expr = []   # expression of each basis row in original rows
     deps = []
-    combos = []
+    dep_in_orig = []
     for i, row in enumerate(M):
         r = list(row)
-        comb = {}
-        for (brow, bcomb), pc in zip(basis, pivots):
+        expr = {i: Fraction(1)}
+        for (brow, bexp, pc) in zip(basis, basis_expr, pivots):
             if r[pc] != 0:
                 f = r[pc] / brow[pc]
                 for c in range(ncols):
                     if brow[c] != 0:
                         r[c] -= f * brow[c]
-                for k, v in bcomb.items():
-                    comb[k] = comb.get(k, Fraction(0)) + f * v
+                for o, cc in bexp.items():
+                    expr[o] = expr.get(o, Fraction(0)) - f * cc
         pc = next((c for c in range(ncols) if r[c] != 0), None)
         if pc is None:
+            # sum expr * orig = 0 with expr[i] == 1
             deps.append(i)
-            combos.append(comb)
+            dep_in_orig.append({o: -cc for o, cc in expr.items()
+                                if o != i and cc != 0})
         else:
-            comb2 = dict(comb)
-            comb2[i] = Fraction(1)  # not used; basis rows track original combos
-            basis.append((r, comb))
+            basis.append(r)
             pivots.append(pc)
-    # re-express basis combos: each basis row equals original row i minus
-    # sum comb: we stored comb st reduced = orig_i - sum comb_k * basis_k ...
-    return deps, combos, basis, pivots
+            basis_expr.append(expr)
+    return deps, dep_in_orig
 
 
 def preprocess_sdp(sdp, verbose=False, tol=1e-10):
@@ -185,31 +186,9 @@ def preprocess_sdp(sdp, verbose=False, tol=1e-10):
 
     # ---- exact elimination ------------------------------------------------
     M = _vectorize_rows_exact(sdp)
-    deps, combos, basis, pivots = _exact_dependencies(M)
+    deps, dep_in_orig = _exact_dependencies(M)
     if not deps:
         return sdp, lambda x, y: (x, y)
-
-    # basis rows correspond to independent original rows, in order
-    indep = [i for i in range(len(M)) if i not in set(deps)]
-    # decomposition of dependent row d: row_d = sum_k comb[k-th basis] * basis_k
-    # where basis_k is itself a combination of original rows; expand to
-    # original-row coefficients by forward substitution.
-    # basis_k (reduced) = orig_{indep[k]} - sum_{k'<k} c_{kk'} basis_{k'}
-    # We need row_d = sum_k alpha_dk orig_{indep[k]}.
-    basis_in_orig = []
-    for k, ((brow, bcomb), pc) in enumerate(zip(basis, pivots)):
-        expansion = {indep[k]: Fraction(1)}
-        for k2, v in bcomb.items():
-            for o, c in basis_in_orig[k2].items():
-                expansion[o] = expansion.get(o, Fraction(0)) - v * c
-        basis_in_orig.append(expansion)
-    dep_in_orig = []
-    for comb in combos:
-        expansion = {}
-        for k2, v in comb.items():
-            for o, c in basis_in_orig[k2].items():
-                expansion[o] = expansion.get(o, Fraction(0)) + v * c
-        dep_in_orig.append(expansion)
 
     # global row indexing -> (cluster, row)
     row_of = []
@@ -298,47 +277,68 @@ def preprocess_sdp(sdp, verbose=False, tol=1e-10):
             subst[pc][col] = -prow[k]
 
     dep_set = set(deps)
-    keep_global = [g for g in range(len(M)) if g not in dep_set]
 
     g = 0
     removed_rows_per_cluster = []
+    exact_B_rows = []   # per cluster: list of (kept_row_exact_B, exact_c)
     for j, cl in enumerate(sdp.clusters):
         keep = [p for p in range(cl.nrows) if (g + p) not in dep_set]
         removed = [p for p in range(cl.nrows) if (g + p) in dep_set]
         removed_rows_per_cluster.append(removed)
         g += cl.nrows
-        if not removed and not nf_vars:
-            continue
-        # exact new B and c
-        newP = len(keep)
-        Bh = np.zeros((newP, len(ff_vars)))
-        Bl = np.zeros((newP, len(ff_vars)))
-        ch = np.zeros(newP)
-        clo = np.zeros(newP)
-        for pi, p in enumerate(keep):
+        rows = []
+        for p in keep:
             Brow = [_frac(cl.B[0][p, k], cl.B[1][p, k]) for k in range(N)]
             crow = _frac(cl.c[0][p], cl.c[1][p])
-            # c_new = c - B @ shift ; B_new = B @ subst
             crow -= sum(Brow[k] * shift[k] for k in range(N) if shift[k] != 0)
+            newrow = []
             for col in range(len(ff_vars)):
-                v = sum(Brow[k] * subst[k][col] for k in range(N)
-                        if subst[k][col] != 0)
-                Bh[pi, col], Bl[pi, col] = _dd_pair(v)
+                newrow.append(sum(Brow[k] * subst[k][col] for k in range(N)
+                                  if subst[k][col] != 0))
+            rows.append((newrow, crow))
+        exact_B_rows.append((keep, rows))
+
+    # second stage: free variables whose substituted columns are linearly
+    # dependent can be set to 0 wlog (pre_postprocessing.jl:117-134)
+    all_rows = [r for _, rows in exact_B_rows for (r, _) in rows]
+    if all_rows and ff_vars:
+        cols = [[all_rows[r][c] for r in range(len(all_rows))]
+                for c in range(len(ff_vars))]
+        col_deps, _ = _exact_dependencies(cols)
+    else:
+        col_deps = list(range(len(ff_vars))) if not all_rows else []
+    fv_zero_set = set(col_deps)
+    keep_cols = [c for c in range(len(ff_vars)) if c not in fv_zero_set]
+    if fv_zero_set:
+        warnings.warn(f"{len(fv_zero_set)} additional free variable(s) set "
+                      "to zero (duplicate columns after substitution).")
+
+    for j, cl in enumerate(sdp.clusters):
+        keep, rows = exact_B_rows[j]
+        newP = len(keep)
+        Bh = np.zeros((newP, len(keep_cols)))
+        Bl = np.zeros((newP, len(keep_cols)))
+        ch = np.zeros(newP)
+        clo = np.zeros(newP)
+        for pi, (newrow, crow) in enumerate(rows):
+            for ci, col in enumerate(keep_cols):
+                Bh[pi, ci], Bl[pi, ci] = _dd_pair(newrow[col])
             ch[pi], clo[pi] = _dd_pair(crow)
         cl.B = (Bh, Bl)
         cl.c = (ch, clo)
         cl.nrows = newP
-        # drop removed rows from block term tables / dense arrays / scalar pack
-        for bd in cl.blocks:
-            if bd.kind == "dense":
-                bd.A = tuple(a[keep] for a in bd.A)
-            else:
-                bd.lam = tuple(a[keep] for a in bd.lam)
-                bd.li = bd.li[keep]
-                bd.ri = bd.ri[keep]
-                bd.tmask = bd.tmask[keep]
-        if cl.scalars is not None:
-            cl.scalars.a = tuple(a[:, keep] for a in cl.scalars.a)
+        removed = removed_rows_per_cluster[j]
+        if removed:
+            for bd in cl.blocks:
+                if bd.kind == "dense":
+                    bd.A = tuple(a[keep] for a in bd.A)
+                else:
+                    bd.lam = tuple(a[keep] for a in bd.lam)
+                    bd.li = bd.li[keep]
+                    bd.ri = bd.ri[keep]
+                    bd.tmask = bd.tmask[keep]
+            if cl.scalars is not None:
+                cl.scalars.a = tuple(a[:, keep] for a in cl.scalars.a)
 
     # new b and constant: b_new = subst^T b ; constant += b . shift
     from ..utils.hp import DDScalar
@@ -347,15 +347,15 @@ def preprocess_sdp(sdp, verbose=False, tol=1e-10):
     const_shift = sum(bfr[k] * shift[k] for k in range(N) if shift[k] != 0)
     if const_shift:
         sdp.constant = sdp.constant + DDScalar(Fraction(const_shift))
-    bh = np.zeros(len(ff_vars))
-    bl = np.zeros(len(ff_vars))
-    for col in range(len(ff_vars)):
+    bh = np.zeros(len(keep_cols))
+    bl = np.zeros(len(keep_cols))
+    for ci, col in enumerate(keep_cols):
         v = sum(bfr[k] * subst[k][col] for k in range(N) if subst[k][col] != 0)
-        bh[col], bl[col] = _dd_pair(v)
+        bh[ci], bl[ci] = _dd_pair(v)
     sdp.b = (bh, bl)
     old_free_names = sdp.free_names
     # solver-facing reduced names; extraction keeps the original free_names
-    sdp.free_names_reduced = [old_free_names[k] for k in ff_vars]
+    sdp.free_names_reduced = [old_free_names[ff_vars[c]] for c in keep_cols]
 
     # order_c rewrite: (ci,si) -> new (j, row); removed rows map to None
     new_order = {}
@@ -393,10 +393,10 @@ def preprocess_sdp(sdp, verbose=False, tol=1e-10):
         # recompute dependent free variables
         yh, yl = y
         yfr = [Fraction(float(yh[c])) + Fraction(float(yl[c]))
-               for c in range(len(ff_vars))]
+               for c in range(len(keep_cols))]
         full = [Fraction(0)] * N
-        for col, k in enumerate(ff_vars):
-            full[k] = yfr[col]
+        for ci, col in enumerate(keep_cols):
+            full[ff_vars[col]] = yfr[ci]
         for pc, (prow, prhs) in pivot_var.items():
             full[pc] = prhs - sum(prow[k] * full[k] for k in ff_vars
                                   if prow[k] != 0)

@@ -89,3 +89,30 @@ def test_triangular_solves(rng):
     x = linalg.dd_solve_triu((jnp.array(u), jnp.zeros((n, n))),
                              (jnp.array(b), jnp.zeros((n, 2))))
     assert np.max(np.abs(u @ (np.asarray(x[0]) + np.asarray(x[1])) - b)) < 1e-13
+
+
+def test_mxu_limb_gemm_dd_accuracy():
+    """Integer-limb (int8-MXU-style) GEMM reaches double-word accuracy."""
+    from fractions import Fraction
+
+    from clrs_tpu.dd.mxu_gemm import mxu_dd_matmul
+
+    rng = np.random.default_rng(3)
+    m, k, n = 8, 32, 6
+    ah = rng.standard_normal((m, k)) * 10.0 ** rng.integers(-6, 6, (m, 1))
+    al = ah * 1e-17 * rng.standard_normal((m, k))
+    bh = rng.standard_normal((k, n))
+    bl = bh * 1e-17 * rng.standard_normal((k, n))
+    out = linalg.dd_matmul  # silence linters
+    import jax
+
+    out = jax.jit(mxu_dd_matmul)((jnp.array(ah), jnp.array(al)),
+                                 (jnp.array(bh), jnp.array(bl)))
+    for i in range(m):
+        sc = max(abs(Fraction(ah[i, t])) for t in range(k))
+        for j in range(n):
+            truth = sum((Fraction(ah[i, t]) + Fraction(al[i, t]))
+                        * (Fraction(bh[t, j]) + Fraction(bl[t, j]))
+                        for t in range(k))
+            got = Fraction(float(out[0][i, j])) + Fraction(float(out[1][i, j]))
+            assert abs(got - truth) / sc < Fraction(1, 10 ** 29)
