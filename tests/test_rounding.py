@@ -124,3 +124,22 @@ def test_rounding_settings_sweep():
                         monomial_bases=bases, verbose=False)
                     assert success, (reduce_kv, unimod, pseudo, bases)
                     assert objvalue(problem, esol) == 240
+
+
+def test_three_point_bound_exact_10():
+    """three_point_spherical_codes(4,1/6,-1,4) rounds to exactly 10
+    (reference test/runtests_solver.jl:26-27, 89-93)."""
+    from fractions import Fraction as F
+
+    from threepoint import three_point_spherical_codes
+
+    problem, status, ds, ps, code = three_point_spherical_codes(
+        4, F(1, 6), -1, 4, verbose=False, omega_p=1000.0, omega_d=1000.0,
+        duality_gap_threshold=1e-18,
+        dual_error_threshold=1e-15, primal_error_threshold=1e-15)
+    assert code == 0
+    assert abs(float(objvalue(problem, ps)) - 10.0) < 1e-8
+    success, esol = exact_solution(problem, ds, ps, verbose=False,
+                                   settings=RoundingSettings(kernel_errbound=1e-8))
+    assert success
+    assert objvalue(problem, esol) == 10
