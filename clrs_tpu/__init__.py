@@ -77,3 +77,15 @@ from .poly.sampled import SampledPolyRing, SampledPoly, sampled_polynomial_ring 
 from .poly.fekete import approximatefekete  # noqa: E402
 
 __version__ = "0.1.0"
+
+# rounding / exact solutions (imported late: they depend on the above)
+from .round.rounding import RoundingSettings, exact_solution  # noqa: E402
+from .round.find_field import find_field, to_field, min_poly  # noqa: E402
+from .exact.field import NumberField, QQ, generic_embedding  # noqa: E402
+from .model.sdpa import sdpa_sparse_to_problem  # noqa: E402
+from .model.checks import check_problem, check_sdp  # noqa: E402
+from .model.linearsystem import (  # noqa: E402
+    linearsystem,
+    linearsystem_coefficientmatching,
+    partial_linearsystem,
+)

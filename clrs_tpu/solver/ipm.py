@@ -103,6 +103,7 @@ def solvesdp(problem, *, prec=None, maxiterations=500,
     error_code = 0
     it = 1
     t0 = _time.time()
+    step_times = []  # per-iteration wall time (first entry includes compile)
     save_count = 0
     last_save_iter = 0
     save_t0 = _time.time()
@@ -136,9 +137,11 @@ def solvesdp(problem, *, prec=None, maxiterations=500,
             error_code = 3
             break
 
+        t_it = _time.time()
         new_state, info = step(state, bool(pd_feas))
         info = {k: (float(v) if np.asarray(v).ndim == 0 else v)
                 for k, v in info.items()}
+        step_times.append(_time.time() - t_it)
         if not info["ok"] or not np.isfinite(info["mu"]):
             if verbose:
                 print("A Cholesky decomposition failed (or non-finite values "
@@ -204,6 +207,15 @@ def solvesdp(problem, *, prec=None, maxiterations=500,
         print(f"\nPrimal objective: {p_obj}")
         print(f"Dual objective: {d_obj}")
         print(f"duality gap: {dual_gap}")
+    if testing and step_times:
+        # timing breakdown in the spirit of the reference's `testing=true`
+        # phase table (solver.jl:664-718); with one fused jitted iteration
+        # the per-phase split lives inside XLA, so we report compile vs
+        # steady-state iteration cost instead.
+        rest = step_times[1:] or step_times
+        print(f"timing: total {solve_time:.2f}s over {len(step_times)} "
+              f"iterations; first call (incl. compile) {step_times[0]:.2f}s; "
+              f"steady-state {1e3 * sum(rest) / len(rest):.2f} ms/iter")
 
     if pd_feas and dual_gap < duality_gap_threshold:
         status = Optimal()
