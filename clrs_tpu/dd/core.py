@@ -72,15 +72,111 @@ def two_prod(a, b):
 
 
 # ---------------------------------------------------------------------------
-# double-word ops; operands are (hi, lo) tuples of same-shape arrays
+# multi-word ops; operands are tuples of same-shape float64 arrays.
+# len 2 = double-word (~106 bits, the fast default); len 4 = quad-word
+# (~212 bits, the high-precision backend — the reference's prec=256 regime,
+# ClusteredLowRankSolver.jl src/solver.jl:100-128). The quad-word algorithms
+# are floating-point-expansion style (VecSum renormalization sweeps, cf.
+# Joldes-Muller-Popescu and the CAMPARY/QD libraries), built only on the
+# error-free transforms above so they stay exact under IEEE f64.
 # ---------------------------------------------------------------------------
 
 def dd_normalize(hi, lo):
     return quick_two_sum(hi, lo)
 
 
+def _vec_sum(cs):
+    """One bottom-up two_sum sweep: value-preserving; cs[0] becomes fl(sum)."""
+    n = len(cs)
+    out = [None] * n
+    s = cs[n - 1]
+    for i in range(n - 2, -1, -1):
+        s, e = two_sum(cs[i], s)
+        out[i + 1] = e
+    out[0] = s
+    return out
+
+
+def _renorm(cs, nw, sweeps=3):
+    """Compress an expansion (list, roughly decreasing) to nw words."""
+    for _ in range(sweeps):
+        cs = _vec_sum(cs)
+    cs = list(cs)
+    while len(cs) > nw:
+        t = cs.pop()
+        cs[-1] = cs[-1] + t      # O(eps^nw) relative; below the last word
+    return tuple(cs)
+
+
+def qd_add(x, y):
+    merged = []
+    for a, b in zip(x, y):
+        merged.append(a)
+        merged.append(b)
+    return _renorm(merged, len(x))
+
+
+def qd_mul(x, y):
+    """Quad-word product, accurate to O(eps^4)."""
+    p00, e00 = two_prod(x[0], y[0])
+    p01, e01 = two_prod(x[0], y[1])
+    p10, e10 = two_prod(x[1], y[0])
+    p02, e02 = two_prod(x[0], y[2])
+    p11, e11 = two_prod(x[1], y[1])
+    p20, e20 = two_prod(x[2], y[0])
+    # O(eps^3) terms: plain products (their own error is O(eps^4))
+    t3 = (x[0] * y[3] + x[3] * y[0]) + (x[1] * y[2] + x[2] * y[1]) \
+        + ((e02 + e20) + e11)
+    cs = [p00, p01, p10, e00, p02, p11, p20, e01, e10, t3]
+    return _renorm(cs, 4)
+
+
+def qd_mul_f64(x, a):
+    p0, e0 = two_prod(x[0], a)
+    p1, e1 = two_prod(x[1], a)
+    p2, e2 = two_prod(x[2], a)
+    p3 = x[3] * a
+    cs = [p0, p1, e0, p2, e1, p3, e2]
+    return _renorm(cs, 4)
+
+
+def qd_div(x, y):
+    """Newton iteration on the reciprocal (two doublings + one refinement)."""
+    one = (1.0 + y[0] * 0.0, y[0] * 0.0, y[0] * 0.0, y[0] * 0.0)
+    r0 = 1.0 / y[0]
+    r = (r0, r0 * 0.0, r0 * 0.0, r0 * 0.0)
+    for _ in range(3):                       # 53 -> 106 -> 212 bits (+margin)
+        e = qd_add(one, qd_neg(qd_mul(y, r)))
+        r = qd_add(r, qd_mul(r, e))
+    q = qd_mul(x, r)
+    resid = qd_add(x, qd_neg(qd_mul(y, q)))
+    return qd_add(q, qd_mul(resid, r))
+
+
+def qd_sqrt(x, xp=np):
+    """Quad-word sqrt via Newton on the inverse square root (no division)."""
+    y0 = 1.0 / xp.sqrt(x[0])
+    y = (y0, y0 * 0.0, y0 * 0.0, y0 * 0.0)
+    half = -0.5
+    for _ in range(3):
+        # y <- y + y * (1 - x*y*y)/2
+        t = qd_mul(x, qd_mul(y, y))
+        e = qd_mul_f64(qd_add(t, (-1.0 + t[0] * 0.0, t[0] * 0.0, t[0] * 0.0, t[0] * 0.0)), half)
+        y = qd_add(y, qd_mul(y, e))
+    r = qd_mul(x, y)
+    # one final correction: r <- r + (x - r^2) * y / 2
+    resid = qd_add(x, qd_neg(qd_mul(r, r)))
+    return qd_add(r, qd_mul_f64(qd_mul(resid, y), 0.5))
+
+
+def qd_neg(x):
+    return tuple(-c for c in x)
+
+
 def dd_add(x, y):
-    """Accurate double-word addition (IEEE-style, ~0.5 ulp^2)."""
+    """Accurate multi-word addition (dispatches on word count)."""
+    if len(x) != 2:
+        return qd_add(x, y)
     s1, s2 = two_sum(x[0], y[0])
     t1, t2 = two_sum(x[1], y[1])
     s2 = s2 + t1
@@ -90,14 +186,16 @@ def dd_add(x, y):
 
 
 def dd_add_f64(x, a):
-    """double-word + float64."""
+    """multi-word + float64."""
+    if len(x) != 2:
+        return _renorm([x[0], a, x[1], x[2], x[3]], 4)
     s1, s2 = two_sum(x[0], a)
     s2 = s2 + x[1]
     return quick_two_sum(s1, s2)
 
 
 def dd_neg(x):
-    return (-x[0], -x[1])
+    return tuple(-c for c in x)
 
 
 def dd_sub(x, y):
@@ -105,18 +203,24 @@ def dd_sub(x, y):
 
 
 def dd_mul(x, y):
+    if len(x) != 2:
+        return qd_mul(x, y)
     p, e = two_prod(x[0], y[0])
     e = e + (x[0] * y[1] + x[1] * y[0])
     return quick_two_sum(p, e)
 
 
 def dd_mul_f64(x, a):
+    if len(x) != 2:
+        return qd_mul_f64(x, a)
     p, e = two_prod(x[0], a)
     e = e + x[1] * a
     return quick_two_sum(p, e)
 
 
 def dd_div(x, y):
+    if len(x) != 2:
+        return qd_div(x, y)
     q1 = x[0] / y[0]
     r = dd_sub(x, dd_mul_f64(y, q1))
     q2 = r[0] / y[0]
@@ -127,11 +231,13 @@ def dd_div(x, y):
 
 
 def dd_sqrt(x, xp=np):
-    """Double-word square root (Karp-Markstein style refinement).
+    """Multi-word square root.
 
     Caller must guard non-positive inputs (returns garbage / inf there);
     the solver substitutes safe values via a mask before calling.
     """
+    if len(x) != 2:
+        return qd_sqrt(x, xp=xp)
     r = xp.sqrt(x[0])
     # one Newton step in double-word: r_dd = r + (x - r^2) / (2r)
     r2 = two_prod(r, r)
@@ -142,31 +248,44 @@ def dd_sqrt(x, xp=np):
 
 def dd_abs(x, xp=np):
     sgn = xp.where(x[0] < 0, -1.0, 1.0)
-    return (x[0] * sgn, x[1] * sgn)
+    return tuple(c * sgn for c in x)
+
+
+def _lex_after_first(x, y, i, xp, op_strict):
+    """strict comparison on words i.. (x op y) for normalized expansions."""
+    if i == len(x) - 1:
+        return op_strict(x[i], y[i])
+    return op_strict(x[i], y[i]) | (
+        (x[i] == y[i]) & _lex_after_first(x, y, i + 1, xp, op_strict))
 
 
 def dd_max(x, y, xp=np):
-    take_x = (x[0] > y[0]) | ((x[0] == y[0]) & (x[1] >= y[1]))
-    return (xp.where(take_x, x[0], y[0]), xp.where(take_x, x[1], y[1]))
+    ge = ~dd_lt(x, y)
+    return tuple(xp.where(ge, a, b) for a, b in zip(x, y))
 
 
 def dd_min(x, y, xp=np):
-    take_x = (x[0] < y[0]) | ((x[0] == y[0]) & (x[1] <= y[1]))
-    return (xp.where(take_x, x[0], y[0]), xp.where(take_x, x[1], y[1]))
+    le = ~dd_lt(y, x)
+    return tuple(xp.where(le, a, b) for a, b in zip(x, y))
 
 
 def dd_where(cond, x, y, xp=np):
-    return (xp.where(cond, x[0], y[0]), xp.where(cond, x[1], y[1]))
+    return tuple(xp.where(cond, a, b) for a, b in zip(x, y))
 
 
 def dd_lt(x, y):
-    return (x[0] < y[0]) | ((x[0] == y[0]) & (x[1] < y[1]))
+    import operator
+    return _lex_after_first(x, y, 0, np, operator.lt)
 
 
-def from_float(a, xp=np):
+def from_float(a, xp=np, nw=2):
     a = xp.asarray(a, dtype=xp.float64)
-    return (a, xp.zeros_like(a))
+    z = xp.zeros_like(a)
+    return (a,) + (z,) * (nw - 1)
 
 
 def to_float(x):
-    return x[0] + x[1]
+    out = x[0]
+    for c in x[1:]:
+        out = out + c
+    return out

@@ -1,24 +1,24 @@
-"""Double-word linear algebra on JAX (device path).
+"""Multi-word linear algebra on JAX (device path).
 
 TPU-native equivalents of the reference's Arb kernels
 (`ClusteredLowRankSolver.jl/src/tools.jl`: approx_cholesky!, matmul_threaded!,
 Arblib.approx_solve_tril!/triu!, approx_mul!):
 
 - :func:`dd_matmul`   — Dot2-compensated GEMM (Ogita-Rump-Oishi) + cross terms
+                        (double-word); expansion GEMM for quad-word
 - :func:`dd_cholesky` — right-looking Cholesky with masked rank-1 updates;
                         returns a success flag instead of throwing (the host
                         loop maps it onto the reference's SolverFailure path)
 - :func:`dd_solve_tril`/:func:`dd_solve_triu` — row/back substitution
 - pairwise compensated reductions (:func:`dd_sum`, :func:`dd_dot`)
 
-All values are (hi, lo) pairs of float64 arrays; all elementwise primitives
-from :mod:`.core` broadcast, so these routines work on batched operands via
-``jax.vmap``.
+All values are tuples of float64 arrays (2 words = ~106 bits, 4 words =
+~212 bits — the reference's prec=256 tier); all elementwise primitives from
+:mod:`.core` dispatch on word count and broadcast, so these routines work on
+batched operands via ``jax.vmap``.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -28,11 +28,11 @@ from .core import (
     dd_add,
     dd_div,
     dd_mul,
-    dd_neg,
     dd_sqrt,
     dd_sub,
     dd_where,
     quick_two_sum,
+    to_float,
     two_prod,
     two_sum,
 )
@@ -51,188 +51,200 @@ __all__ = [
     "dd_solve_triu",
     "dd_solve_cholesky",
     "dd_symmetrize",
+    "cmap",
 ]
 
 
-def dd_array(a):
+def cmap(f, x):
+    """Apply f to every word of a multi-word value."""
+    return tuple(f(c) for c in x)
+
+
+def dd_array(a, nw=2):
     a = jnp.asarray(a, dtype=jnp.float64)
-    return (a, jnp.zeros_like(a))
+    z = jnp.zeros_like(a)
+    return (a,) + (z,) * (nw - 1)
 
 
-def dd_zeros(shape):
+def dd_zeros(shape, nw=2):
     z = jnp.zeros(shape, dtype=jnp.float64)
-    return (z, z)
+    return (z,) * nw
 
 
-def dd_eye(n):
+def dd_eye(n, nw=2):
     e = jnp.eye(n, dtype=jnp.float64)
-    return (e, jnp.zeros_like(e))
+    return (e,) + (jnp.zeros_like(e),) * (nw - 1)
 
 
 def dd_transpose(x):
-    return (x[0].T, x[1].T)
+    return cmap(lambda c: c.T, x)
 
 
 def dd_sum(x, axis):
     """Pairwise (tree) compensated sum along ``axis``. Static shapes only."""
-    hi = jnp.moveaxis(x[0], axis, 0)
-    lo = jnp.moveaxis(x[1], axis, 0)
-    n = hi.shape[0]
+    ws = [jnp.moveaxis(c, axis, 0) for c in x]
+    n = ws[0].shape[0]
     while n > 1:
         half = (n + 1) // 2
-        a = (hi[:n // 2], lo[:n // 2])
-        b = (hi[half:half + n // 2], lo[half:half + n // 2])
-        shi, slo = dd_add(a, b)
+        a = tuple(c[:n // 2] for c in ws)
+        b = tuple(c[half:half + n // 2] for c in ws)
+        s = dd_add(a, b)
         if n % 2 == 1:
-            shi = jnp.concatenate([shi, hi[n // 2:half]], axis=0)
-            slo = jnp.concatenate([slo, lo[n // 2:half]], axis=0)
-        hi, lo = shi, slo
+            s = tuple(jnp.concatenate([sc, c[n // 2:half]], axis=0)
+                      for sc, c in zip(s, ws))
+        ws = list(s)
         n = half
-    if hi.shape[0] == 0:
-        z = jnp.zeros(hi.shape[1:], dtype=jnp.float64)
-        return (z, z)
-    return (hi[0], lo[0])
+    if ws[0].shape[0] == 0:
+        z = jnp.zeros(ws[0].shape[1:], dtype=jnp.float64)
+        return (z,) * len(ws)
+    return tuple(c[0] for c in ws)
 
 
 def dd_dot(x, y):
     """Compensated trace inner product sum(x * y) over all elements."""
     p = dd_mul(x, y)
-    return dd_sum((p[0].reshape(-1), p[1].reshape(-1)), axis=0)
+    return dd_sum(cmap(lambda c: c.reshape(-1), p), axis=0)
 
 
 def dd_max_abs(x):
     """max |x| as a plain float64 (used only for error reporting/termination)."""
-    v = jnp.abs(x[0] + x[1])
+    v = jnp.abs(to_float(x))
     return jnp.max(v) if v.size else jnp.zeros((), jnp.float64)
 
 
 def dd_matmul(a, b):
-    """Double-word GEMM: (M,K) @ (K,N) -> (M,N).
+    """Multi-word GEMM: (M,K) @ (K,N) -> (M,N).
 
-    hi*hi contributions use an error-free product with Dot2-style compensated
-    accumulation over K; the eps-magnitude cross terms Ah@Bl + Al@Bh are safe
-    in plain f64 GEMMs (their rounding is O(eps^2) relative to the result).
+    Double-word path: hi*hi contributions use an error-free product with
+    Dot2-style compensated accumulation over K; the eps-magnitude cross terms
+    Ah@Bl + Al@Bh are safe in plain f64 GEMMs (their rounding is O(eps^2)
+    relative to the result). Quad-word path: full expansion products with a
+    compensated tree reduction over K.
     """
-    ah, al = a
-    bh, bl = b
-    m, k = ah.shape
-    n = bh.shape[1]
+    m, k = a[0].shape
+    n = b[0].shape[1]
+    nw = len(a)
     if k == 0 or m == 0 or n == 0:
-        return dd_zeros((m, n))
+        return dd_zeros((m, n), nw)
 
-    def body(i, carry):
-        s, c = carry
-        col = lax.dynamic_slice(ah, (0, i), (m, 1))          # (M,1)
-        row = lax.dynamic_slice(bh, (i, 0), (1, n))          # (1,N)
-        p, e = two_prod(col, row)
-        s, e2 = two_sum(s, p)
-        c = c + (e + e2)
-        return (s, c)
+    if nw == 2:
+        ah, al = a
+        bh, bl = b
 
-    z = jnp.zeros((m, n), dtype=jnp.float64)
-    s, c = lax.fori_loop(0, k, body, (z, z))
-    cross = ah @ bl + al @ bh
-    return quick_two_sum(s, c + cross)
+        def body(i, carry):
+            s, c = carry
+            col = lax.dynamic_slice(ah, (0, i), (m, 1))          # (M,1)
+            row = lax.dynamic_slice(bh, (i, 0), (1, n))          # (1,N)
+            p, e = two_prod(col, row)
+            s, e2 = two_sum(s, p)
+            c = c + (e + e2)
+            return (s, c)
+
+        z = jnp.zeros((m, n), dtype=jnp.float64)
+        s, c = lax.fori_loop(0, k, body, (z, z))
+        cross = ah @ bl + al @ bh
+        return quick_two_sum(s, c + cross)
+
+    # quad-word: broadcast expansion products, compensated tree-sum over K
+    ae = cmap(lambda c: c[:, :, None], a)        # (M,K,1)
+    be = cmap(lambda c: c[None, :, :], b)        # (1,K,N)
+    prod = dd_mul(ae, be)                        # (M,K,N)
+    return dd_sum(prod, axis=1)
 
 
 def dd_symmetrize(x):
     s = dd_add(x, dd_transpose(x))
-    return (0.5 * s[0], 0.5 * s[1])  # scaling by 0.5 is exact
+    return cmap(lambda c: 0.5 * c, s)  # scaling by 0.5 is exact
+
+
+def _take_all(ws, idx):
+    return tuple(c[idx] for c in ws)
 
 
 def dd_cholesky(a):
-    """Cholesky of a double-word symmetric matrix.
+    """Cholesky of a multi-word symmetric matrix.
 
     Returns (L, ok): lower-triangular factor and a bool success flag (all
     pivots strictly positive), mirroring approx_cholesky! in
     `ClusteredLowRankSolver.jl/src/tools.jl:59-107` which zeroes Arb error
     bounds mid-iteration and reports 0/1 success.
     """
-    ah, al = a
-    n = ah.shape[0]
+    nw = len(a)
+    n = a[0].shape[0]
     if n == 0:
-        return (ah, al), jnp.bool_(True)
+        return a, jnp.bool_(True)
     idx = jnp.arange(n)
+    one = (jnp.float64(1.0),) + (jnp.float64(0.0),) * (nw - 1)
 
     def body(j, carry):
-        hi, lo, ok = carry
-        d = (hi[j, j], lo[j, j])
+        ws, ok = carry
+        d = tuple(c[j, j] for c in ws)
         pos = d[0] > 0
         ok = ok & pos
-        d_safe = dd_where(pos, d, (jnp.float64(1.0), jnp.float64(0.0)), xp=jnp)
+        d_safe = dd_where(pos, d, one, xp=jnp)
         rt = dd_sqrt(d_safe, xp=jnp)
-        col = (hi[:, j], lo[:, j])
+        col = tuple(c[:, j] for c in ws)
         coll = dd_div(col, rt)
         below = idx > j
         # final column j of L: rt at (j,j), coll below, 0 above
-        newh = jnp.where(below, coll[0], jnp.where(idx == j, rt[0], 0.0))
-        newl = jnp.where(below, coll[1], jnp.where(idx == j, rt[1], 0.0))
+        newcol = tuple(jnp.where(below, cc, jnp.where(idx == j, rc, 0.0))
+                       for cc, rc in zip(coll, rt))
         # rank-1 update of the trailing submatrix
-        collb = (jnp.where(below, coll[0], 0.0), jnp.where(below, coll[1], 0.0))
-        upd = dd_mul((collb[0][:, None], collb[1][:, None]),
-                     (collb[0][None, :], collb[1][None, :]))
+        collb = tuple(jnp.where(below, cc, 0.0) for cc in coll)
+        upd = dd_mul(cmap(lambda c: c[:, None], collb),
+                     cmap(lambda c: c[None, :], collb))
         mask = below[:, None] & below[None, :]
-        uh, ul = dd_sub((hi, lo), upd)
-        hi = jnp.where(mask, uh, hi)
-        lo = jnp.where(mask, ul, lo)
-        hi = hi.at[:, j].set(newh)
-        lo = lo.at[:, j].set(newl)
-        return (hi, lo, ok)
+        u = dd_sub(ws, upd)
+        ws = tuple(jnp.where(mask, uc, wc) for uc, wc in zip(u, ws))
+        ws = tuple(wc.at[:, j].set(nc) for wc, nc in zip(ws, newcol))
+        return (ws, ok)
 
-    hi, lo, ok = lax.fori_loop(0, n, body, (ah, al, jnp.bool_(True)))
+    ws, ok = lax.fori_loop(0, n, body, (a, jnp.bool_(True)))
     tril = jnp.tril(jnp.ones((n, n), dtype=bool))
-    return (jnp.where(tril, hi, 0.0), jnp.where(tril, lo, 0.0)), ok
+    return cmap(lambda c: jnp.where(tril, c, 0.0), ws), ok
 
 
 def dd_solve_tril(l, b):
     """Solve L X = B with L lower triangular (unit rhs columns allowed)."""
-    lh, ll = l
-    bh, bl = b
-    n = lh.shape[0]
+    nw = len(l)
+    n = l[0].shape[0]
     if n == 0:
         return b
     idx = jnp.arange(n)
 
     def body(i, x):
-        xh, xl = x
-        row = (lh[i, :], ll[i, :])
+        row = tuple(c[i, :] for c in l)
         mask = (idx < i).astype(jnp.float64)
-        contrib = dd_mul((row[0][:, None] * mask[:, None], row[1][:, None] * mask[:, None]),
-                         (xh, xl))
+        contrib = dd_mul(cmap(lambda c: c[:, None] * mask[:, None], row), x)
         s = dd_sum(contrib, axis=0)
-        rhs = dd_sub((bh[i, :], bl[i, :]), s)
-        xi = dd_div(rhs, (lh[i, i], ll[i, i]))
-        return (xh.at[i, :].set(xi[0]), xl.at[i, :].set(xi[1]))
+        rhs = dd_sub(tuple(c[i, :] for c in b), s)
+        xi = dd_div(rhs, tuple(c[i, i] for c in l))
+        return tuple(xc.at[i, :].set(xic) for xc, xic in zip(x, xi))
 
-    z = jnp.zeros_like(bh)
-    xh, xl = lax.fori_loop(0, n, body, (z, z))
-    return (xh, xl)
+    z = jnp.zeros_like(b[0])
+    return lax.fori_loop(0, n, body, (z,) * nw)
 
 
 def dd_solve_triu(u, b):
     """Solve U X = B with U upper triangular."""
-    uh, ul = u
-    bh, bl = b
-    n = uh.shape[0]
+    nw = len(u)
+    n = u[0].shape[0]
     if n == 0:
         return b
     idx = jnp.arange(n)
 
     def body(t, x):
         i = n - 1 - t
-        xh, xl = x
-        row = (uh[i, :], ul[i, :])
+        row = tuple(c[i, :] for c in u)
         mask = (idx > i).astype(jnp.float64)
-        contrib = dd_mul((row[0][:, None] * mask[:, None], row[1][:, None] * mask[:, None]),
-                         (xh, xl))
+        contrib = dd_mul(cmap(lambda c: c[:, None] * mask[:, None], row), x)
         s = dd_sum(contrib, axis=0)
-        rhs = dd_sub((bh[i, :], bl[i, :]), s)
-        xi = dd_div(rhs, (uh[i, i], ul[i, i]))
-        return (xh.at[i, :].set(xi[0]), xl.at[i, :].set(xi[1]))
+        rhs = dd_sub(tuple(c[i, :] for c in b), s)
+        xi = dd_div(rhs, tuple(c[i, i] for c in u))
+        return tuple(xc.at[i, :].set(xic) for xc, xic in zip(x, xi))
 
-    z = jnp.zeros_like(bh)
-    xh, xl = lax.fori_loop(0, n, body, (z, z))
-    return (xh, xl)
+    z = jnp.zeros_like(b[0])
+    return lax.fori_loop(0, n, body, (z,) * nw)
 
 
 def dd_solve_cholesky(l, b):

@@ -114,6 +114,44 @@ def to_dd(x):
     raise TypeError(f"cannot convert {type(x)} to double-word: {x!r}")
 
 
+def to_words(x, nw: int):
+    """Split an exact/high-precision host scalar into ``nw`` float64 words.
+
+    The words are non-overlapping and decreasing; their exact sum is the
+    closest nw*53-bit approximation of x. ``nw=2`` agrees with :func:`to_dd`.
+    This is the host/device boundary for the configurable-precision backend
+    (the reference's `prec` kwarg, solver.jl:100-128, maps onto the word
+    count here: 2 words ~ 106 bits, 4 words ~ 212 bits).
+    """
+    if isinstance(x, DDScalar):
+        ws = [x.hi, x.lo] + [0.0] * max(0, nw - 2)
+        return tuple(ws[:nw])
+    if isinstance(x, float):
+        return (x,) + (0.0,) * (nw - 1)
+    if isinstance(x, Decimal):
+        x = to_fraction(x)
+    if isinstance(x, int):
+        x = Fraction(x)
+    if isinstance(x, Fraction):
+        out = []
+        r = x
+        for _ in range(nw):
+            h = float(r)
+            if math.isinf(h):
+                raise OverflowError("value too large for float64")
+            out.append(h)
+            r = r - Fraction(h)
+        return tuple(out)
+    raise TypeError(f"cannot convert {type(x)} to {nw} words: {x!r}")
+
+
+def words_to_fraction(ws) -> Fraction:
+    out = Fraction(0)
+    for w in ws:
+        out += Fraction(float(w))
+    return out
+
+
 def to_fraction(x) -> Fraction:
     if isinstance(x, Fraction):
         return x

@@ -1,0 +1,138 @@
+"""Quad-word (~212-bit) arithmetic property tests against exact Fractions.
+
+The reference runs its solver in 256-bit Arb (solver.jl:100-128); the
+quad-word backend is this framework's equivalent precision tier. These tests
+check each primitive delivers >= ~190-bit relative accuracy on host numpy
+(exact IEEE f64), which is the regime the CPU test/dryrun path uses.
+"""
+
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+from clrs_tpu.dd.core import (dd_add, dd_div, dd_mul, dd_mul_f64, dd_sqrt,
+                              dd_sub, to_float)
+from clrs_tpu.utils.hp import to_words, words_to_fraction
+
+rng = np.random.default_rng(42)
+
+
+def _rand_qd(n, scale_pow=8):
+    """random quad-words spanning ~1e-8..1e8."""
+    out = []
+    for _ in range(n):
+        f = Fraction(0)
+        for k in range(4):
+            m = rng.integers(-2**52, 2**52)
+            e = int(rng.integers(-scale_pow, scale_pow)) - 53 * k
+            f += Fraction(int(m), 1) * Fraction(2) ** e
+        out.append(f)
+    return out
+
+
+def _relerr(ws, exact):
+    if exact == 0:
+        return abs(words_to_fraction(ws))
+    return abs((words_to_fraction(ws) - exact) / exact)
+
+
+TOL = Fraction(1, 2**190)
+
+
+@pytest.mark.parametrize("op,ref", [
+    (dd_add, lambda a, b: a + b),
+    (dd_sub, lambda a, b: a - b),
+    (dd_mul, lambda a, b: a * b),
+    (dd_div, lambda a, b: a / b),
+])
+def test_qd_binary_ops(op, ref):
+    xs, ys = _rand_qd(50), _rand_qd(50)
+    for a, b in zip(xs, ys):
+        wa = tuple(np.float64(w) for w in to_words(a, 4))
+        wb = tuple(np.float64(w) for w in to_words(b, 4))
+        got = op(wa, wb)
+        exact = ref(words_to_fraction(wa), words_to_fraction(wb))
+        assert _relerr(got, exact) < TOL, (op.__name__, float(a), float(b))
+
+
+def test_qd_mul_f64():
+    xs = _rand_qd(50)
+    for a in xs:
+        wa = tuple(np.float64(w) for w in to_words(a, 4))
+        s = np.float64(rng.standard_normal() * 2.0 ** rng.integers(-8, 8))
+        got = dd_mul_f64(wa, s)
+        exact = words_to_fraction(wa) * Fraction(float(s))
+        assert _relerr(got, exact) < TOL
+
+
+def test_qd_sqrt():
+    xs = [abs(x) + Fraction(1, 100) for x in _rand_qd(50)]
+    for a in xs:
+        wa = tuple(np.float64(w) for w in to_words(a, 4))
+        got = words_to_fraction(dd_sqrt(wa, xp=np))
+        exact = words_to_fraction(wa)
+        # check got^2 ~ exact
+        assert abs(got * got - exact) / exact < Fraction(1, 2**188)
+
+
+def test_qd_vectorized_and_jit():
+    """elementwise ops vectorize over arrays and survive jit on CPU."""
+    import jax
+    import jax.numpy as jnp
+
+    import clrs_tpu  # noqa: F401  (x64 + ISA flags)
+
+    xs = _rand_qd(16)
+    ys = _rand_qd(16)
+    wa = tuple(jnp.asarray([to_words(x, 4)[k] for x in xs]) for k in range(4))
+    wb = tuple(jnp.asarray([to_words(y, 4)[k] for y in ys]) for k in range(4))
+
+    f = jax.jit(lambda a, b: dd_add(dd_mul(a, b), dd_div(a, b)))
+    got = f(wa, wb)
+    for i in range(16):
+        fa, fb = words_to_fraction([w[i] for w in wa]), \
+            words_to_fraction([w[i] for w in wb])
+        exact = fa * fb + fa / fb
+        gi = [np.float64(w[i]) for w in got]
+        assert _relerr(gi, exact) < Fraction(1, 2**180)
+
+
+def test_qd_linalg():
+    """quad-word GEMM / Cholesky / triangular solve accuracy (CPU, jitted)."""
+    import jax
+    import jax.numpy as jnp
+
+    import clrs_tpu  # noqa: F401
+    from clrs_tpu.dd import linalg as dl
+
+    n = 6
+    # random SPD matrix with huge dynamic range (scale ~1e12) to stress
+    # beyond double-word capability
+    rng2 = np.random.default_rng(7)
+    M = rng2.standard_normal((n, n))
+    A = M @ M.T + n * np.eye(n)
+    D = np.diag(10.0 ** np.arange(0, 12, 2))
+    A = D @ A @ D
+    Aq = dl.dd_array(jnp.asarray(A), nw=4)
+
+    L, ok = jax.jit(dl.dd_cholesky)(Aq)
+    assert bool(ok)
+    # residual ||L L^T - A|| via qd matmul
+    LLt = dl.dd_matmul(L, dl.dd_transpose(L))
+    resid = [np.float64(c) for c in
+             jnp.max(jnp.abs(sum(dd_sub(LLt, Aq), jnp.zeros((n, n)))))[None]]
+    assert float(resid[0]) < float(np.max(np.abs(A))) * 2.0 ** -200
+
+    # solve A X = I and check A @ X ~ I to quad precision
+    X = jax.jit(dl.dd_solve_cholesky)(L, dl.dd_eye(n, nw=4))
+    AX = dl.dd_matmul(Aq, X)
+    err = np.asarray(sum(dd_sub(AX, dl.dd_eye(n, nw=4)), jnp.zeros((n, n))))
+    # conditioning of A (~1e24 scale^2) eats precision; qd leaves plenty
+    assert np.max(np.abs(err)) < 1e-30
+
+
+def test_to_words_roundtrip():
+    f = Fraction(10**40 + 12345, 10**20 + 7)
+    ws = to_words(f, 4)
+    assert abs(words_to_fraction(ws) - f) / f < Fraction(1, 2**210)
