@@ -145,11 +145,16 @@ def dd_matmul(a, b):
         cross = ah @ bl + al @ bh
         return quick_two_sum(s, c + cross)
 
-    # quad-word: broadcast expansion products, compensated tree-sum over K
-    ae = cmap(lambda c: c[:, :, None], a)        # (M,K,1)
-    be = cmap(lambda c: c[None, :, :], b)        # (1,K,N)
-    prod = dd_mul(ae, be)                        # (M,K,N)
-    return dd_sum(prod, axis=1)
+    # quad-word: rank-1 accumulation over K (same loop structure as the dd
+    # path; a full (M,K,N) expansion-product broadcast makes the traced
+    # graph and the working set K times larger for no accuracy gain)
+    def body(i, acc):
+        col = tuple(lax.dynamic_slice(c, (0, i), (m, 1)) for c in a)
+        row = tuple(lax.dynamic_slice(c, (i, 0), (1, n)) for c in b)
+        return dd_add(acc, dd_mul(col, row))
+
+    z = jnp.zeros((m, n), dtype=jnp.float64)
+    return lax.fori_loop(0, k, body, (z,) * nw)
 
 
 def dd_symmetrize(x):

@@ -31,22 +31,34 @@ import numpy as np
 
 from ..compile.sdp import ClusteredLowRankSDP
 from ..dd import linalg as dl
-from ..dd.core import dd_add, dd_div, dd_mul, dd_mul_f64, dd_sub
+from ..dd.core import dd_add, dd_div, dd_mul, dd_mul_f64, dd_neg, dd_sub, to_float
 
 __all__ = ["DeviceSDP", "make_step", "make_assess", "initial_state"]
 
 
-def _dd(a):
-    return (jnp.asarray(a[0], dtype=jnp.float64), jnp.asarray(a[1], dtype=jnp.float64))
+def _w(a, nw):
+    """Host multi-word tuple -> device, zero-padded to nw words.
+
+    The compiler emits correctly rounded double-word data; padding with zero
+    words embeds it exactly into a wider expansion (the extra precision is
+    needed for the *iteration's* conditioning, not the input representation)."""
+    ws = tuple(jnp.asarray(c, dtype=jnp.float64) for c in a[:nw])
+    return ws + tuple(jnp.zeros_like(ws[0]) for _ in range(nw - len(ws)))
+
+
+def _scalar(v, nw):
+    """Broadcastable nw-word scalar from a traced/static f64 value."""
+    v = jnp.asarray(v, dtype=jnp.float64)
+    return (v,) + (jnp.zeros_like(v),) * (nw - 1)
 
 
 def dd_take(m, *idx):
-    return (m[0][idx], m[1][idx])
+    return tuple(c[idx] for c in m)
 
 
 def _dd_scale(x, a):
-    """multiply a double-word array by an exact {0,1}/power-of-two f64 array."""
-    return (x[0] * a, x[1] * a)
+    """multiply a multi-word array by an exact {0,1}/power-of-two f64 array."""
+    return tuple(c * a for c in x)
 
 
 @dataclasses.dataclass
@@ -74,15 +86,33 @@ class _DevCluster:
     sC: Any = None          # dd [Bs]
     smask: Any = None       # f64 [Bs]: 1 real, 0 padding
     s_nb: int = 0
+    nw: int = 2             # word count of the device expansion arithmetic
+
+
+def _col(v):
+    """nw-word vector -> column matrix."""
+    return tuple(c[:, None] for c in v)
+
+
+def _col0(m):
+    """nw-word single-column matrix -> vector."""
+    return tuple(c[:, 0] for c in m)
 
 
 class DeviceSDP:
-    """Device-resident constants built from a compiled SDP."""
+    """Device-resident constants built from a compiled SDP.
 
-    def __init__(self, sdp: ClusteredLowRankSDP):
+    ``nw`` selects the word count of the on-device expansion arithmetic:
+    2 (~106 bits, the fast default) or 4 (~212 bits — the reference's
+    prec=256 regime, ClusteredLowRankSolver.jl src/solver.jl:100-128)."""
+
+    def __init__(self, sdp: ClusteredLowRankSDP, nw: int = 2):
+        self.nw = nw
+        _dd = lambda a: _w(a, nw)  # noqa: E731
         self.maximize = sdp.maximize
         self.sign = 1.0 if sdp.maximize else -1.0
-        self.constant = (jnp.float64(sdp.constant.hi), jnp.float64(sdp.constant.lo))
+        self.constant = _w((jnp.float64(sdp.constant.hi),
+                            jnp.float64(sdp.constant.lo)), nw)
         self.b = _dd(sdp.b)
         self.nfree = sdp.nfree
         self.clusters = []
@@ -105,7 +135,7 @@ class DeviceSDP:
                     blocks.append(_DevBlock(kind="dense", n=bd.n, C=_dd(bd.C),
                                             A=_dd(bd.A)))
             dc = _DevCluster(nrows=cl.nrows, c=_dd(cl.c), B=_dd(cl.B),
-                             blocks=blocks)
+                             blocks=blocks, nw=nw)
             if cl.scalars is not None:
                 dc.sa = _dd(cl.scalars.a)
                 dc.sC = _dd(cl.scalars.C)
@@ -120,12 +150,15 @@ class DeviceSDP:
 
 def initial_state(ds: DeviceSDP, omega_p: float, omega_d: float):
     """x=0, X=omega_p*I, y=0, Y=omega_d*I (solver.jl:186-201)."""
-    x = [dl.dd_zeros((cl.nrows,)) for cl in ds.clusters]
-    y = dl.dd_zeros((ds.nfree,))
-    X = [[_dd_scale(dl.dd_eye(b.n), omega_p) for b in cl.blocks] for cl in ds.clusters]
-    Y = [[_dd_scale(dl.dd_eye(b.n), omega_d) for b in cl.blocks] for cl in ds.clusters]
-    Xs = [(omega_p * jnp.ones(cl.s_nb), jnp.zeros(cl.s_nb)) for cl in ds.clusters]
-    Ys = [(omega_d * jnp.ones(cl.s_nb), jnp.zeros(cl.s_nb)) for cl in ds.clusters]
+    nw = ds.nw
+    x = [dl.dd_zeros((cl.nrows,), nw) for cl in ds.clusters]
+    y = dl.dd_zeros((ds.nfree,), nw)
+    X = [[_dd_scale(dl.dd_eye(b.n, nw), omega_p) for b in cl.blocks]
+         for cl in ds.clusters]
+    Y = [[_dd_scale(dl.dd_eye(b.n, nw), omega_d) for b in cl.blocks]
+         for cl in ds.clusters]
+    Xs = [_scalar(omega_p * jnp.ones(cl.s_nb), nw) for cl in ds.clusters]
+    Ys = [_scalar(omega_d * jnp.ones(cl.s_nb), nw) for cl in ds.clusters]
     return {"x": x, "y": y, "X": X, "Y": Y, "Xs": Xs, "Ys": Ys}
 
 
@@ -141,7 +174,7 @@ def _panel(b: _DevBlock, M):
 
 def _trace_A_cluster(cl: _DevCluster, Zs, Zsc):
     """[<A_p, Z>]_p for all rows of one cluster (solver.jl:1289-1366)."""
-    tot = dl.dd_zeros((cl.nrows,))
+    tot = dl.dd_zeros((cl.nrows,), cl.nw)
     for b, Z in zip(cl.blocks, Zs):
         if b.kind == "lowrank":
             PZ = _panel(b, Z)
@@ -150,12 +183,12 @@ def _trace_A_cluster(cl: _DevCluster, Zs, Zsc):
             v = _dd_scale(v, b.tmask)
             tot = dd_add(tot, dl.dd_sum(v, axis=1))
         else:
-            prod = dd_mul(b.A, (Z[0][None], Z[1][None]))
-            flat = (prod[0].reshape(cl.nrows, -1), prod[1].reshape(cl.nrows, -1))
+            prod = dd_mul(b.A, tuple(c[None] for c in Z))
+            flat = tuple(c.reshape(cl.nrows, -1) for c in prod)
             tot = dd_add(tot, dl.dd_sum(flat, axis=1))
     if cl.s_nb:
-        r = dl.dd_matmul((Zsc[0][None, :], Zsc[1][None, :]), cl.sa)
-        tot = dd_add(tot, (r[0][0], r[1][0]))
+        r = dl.dd_matmul(tuple(c[None, :] for c in Zsc), cl.sa)
+        tot = dd_add(tot, tuple(c[0] for c in r))
     return tot
 
 
@@ -165,28 +198,28 @@ def _weighted_A_cluster(cl: _DevCluster, a):
     for b in cl.blocks:
         if b.kind == "lowrank":
             P, T = b.li.shape
-            w = dd_mul(b.lam, (a[0][:, None], a[1][:, None]))
+            w = dd_mul(b.lam, _col(a))
             w = _dd_scale(w, b.tmask)
-            wf = (w[0].reshape(P * T, 1), w[1].reshape(P * T, 1))
-            wL = (wf[0] * b.onehotL, wf[1] * b.onehotL)
-            D = dl.dd_matmul((b.onehotR.T, jnp.zeros_like(b.onehotR.T)), wL)
+            wf = tuple(c.reshape(P * T, 1) for c in w)
+            wL = _dd_scale(wf, b.onehotL)
+            D = dl.dd_matmul(dl.dd_array(b.onehotR.T, cl.nw), wL)
             VD = dl.dd_matmul(b.V, D)
             out.append(dl.dd_matmul(VD, dl.dd_transpose(b.V)))
         else:
-            prod = dd_mul(b.A, (a[0][:, None, None], a[1][:, None, None]))
+            prod = dd_mul(b.A, tuple(c[:, None, None] for c in a))
             out.append(dl.dd_sum(prod, axis=0))
     if cl.s_nb:
-        r = dl.dd_matmul(cl.sa, (a[0][:, None], a[1][:, None]))
-        out_s = (r[0][:, 0], r[1][:, 0])
+        r = dl.dd_matmul(cl.sa, _col(a))
+        out_s = _col0(r)
     else:
-        out_s = dl.dd_zeros((0,))
+        out_s = dl.dd_zeros((0,), cl.nw)
     return out, out_s
 
 
 def _schur_cluster(cl: _DevCluster, Xinvs, Ys, Xinv_s, Y_s):
     """S^j (upper triangle mirrored), solver.jl:1062-1226."""
     P = cl.nrows
-    S = dl.dd_zeros((P, P))
+    S = dl.dd_zeros((P, P), cl.nw)
     for b, Xinv, Y in zip(cl.blocks, Xinvs, Ys):
         if b.kind == "lowrank":
             PX = _panel(b, Xinv)
@@ -195,31 +228,31 @@ def _schur_cluster(cl: _DevCluster, Xinvs, Ys, Xinv_s, Y_s):
             #                                        * PY[li[q,t2], ri[p,t1]]
             gx = dd_take(PX, b.li[:, :, None, None], b.ri[None, None, :, :])
             gy = dd_take(PY, b.li[None, None, :, :], b.ri[:, :, None, None])
-            lam1 = (b.lam[0][:, :, None, None], b.lam[1][:, :, None, None])
-            lam2 = (b.lam[0][None, None, :, :], b.lam[1][None, None, :, :])
+            lam1 = tuple(c[:, :, None, None] for c in b.lam)
+            lam2 = tuple(c[None, None, :, :] for c in b.lam)
             v = dd_mul(dd_mul(lam1, lam2), dd_mul(gx, gy))
             mask = b.tmask[:, :, None, None] * b.tmask[None, None, :, :]
             v = _dd_scale(v, mask)
             contrib = dl.dd_sum(dl.dd_sum(v, axis=3), axis=1)
             S = dd_add(S, contrib)
         else:
-            XA = jax.vmap(lambda Ai: dl.dd_matmul(Xinv, Ai))((b.A[0], b.A[1]))
+            XA = jax.vmap(lambda Ai: dl.dd_matmul(Xinv, Ai))(b.A)
             XAY = jax.vmap(lambda Mi: dl.dd_matmul(Mi, Y))(XA)
-            prod = dd_mul((b.A[0][:, None], b.A[1][:, None]),
-                          (XAY[0][None], XAY[1][None]))
-            flat = (prod[0].reshape(P, P, -1), prod[1].reshape(P, P, -1))
+            prod = dd_mul(tuple(c[:, None] for c in b.A),
+                          tuple(c[None] for c in XAY))
+            flat = tuple(c.reshape(P, P, -1) for c in prod)
             S = dd_add(S, dl.dd_sum(flat, axis=2))
     if cl.s_nb:
         w = dd_mul(Xinv_s, Y_s)                      # [Bs]
-        t = dd_mul(cl.sa, (w[0][:, None], w[1][:, None]))
+        t = dd_mul(cl.sa, _col(w))
         S = dd_add(S, dl.dd_matmul(dl.dd_transpose(cl.sa), t))
     # keep the upper triangle, mirror it (reference: symmetric!(S), q>=p only)
     iu = jnp.triu(jnp.ones((P, P), dtype=bool))
-    return (jnp.where(iu, S[0], S[0].T), jnp.where(iu, S[1], S[1].T))
+    return tuple(jnp.where(iu, c, c.T) for c in S)
 
 
 def _dot_state(ds, A, B, keyX="X", keyXs="Xs", keyY="Y", keyYs="Ys"):
-    tot = (jnp.float64(0.0), jnp.float64(0.0))
+    tot = _scalar(0.0, ds.nw)
     for j in range(len(ds.clusters)):
         for Xb, Yb in zip(A[keyX][j], B[keyY][j]):
             tot = dd_add(tot, dl.dd_dot(Xb, Yb))
@@ -255,26 +288,25 @@ def _residuals(ds: DeviceSDP, state):
             Ps = dd_sub(dd_sub(wA_s, state["Xs"][j]), _dd_scale(cl.sC, ds.sign))
             Pres_s.append(_dd_scale(Ps, cl.smask))
         else:
-            Pres_s.append(dl.dd_zeros((0,)))
-        By = dl.dd_matmul(cl.B, (y[0][:, None], y[1][:, None]))
-        d_j = dd_sub(dd_sub(cl.c, (By[0][:, 0], By[1][:, 0])),
+            Pres_s.append(dl.dd_zeros((0,), ds.nw))
+        By = dl.dd_matmul(cl.B, _col(y))
+        d_j = dd_sub(dd_sub(cl.c, _col0(By)),
                      _trace_A_cluster(cl, state["Y"][j], state["Ys"][j]))
         dres.append(d_j)
     pres = _dd_scale(ds.b, ds.sign)
     for j, cl in enumerate(ds.clusters):
-        Btx = dl.dd_matmul(dl.dd_transpose(cl.B),
-                           (x[j][0][:, None], x[j][1][:, None]))
-        pres = dd_sub(pres, (Btx[0][:, 0], Btx[1][:, 0]))
+        Btx = dl.dd_matmul(dl.dd_transpose(cl.B), _col(x[j]))
+        pres = dd_sub(pres, _col0(Btx))
     return Pres, Pres_s, pres, dres
 
 
 def _objectives(ds: DeviceSDP, state):
     x, y = state["x"], state["y"]
-    dot_cx = (jnp.float64(0.0), jnp.float64(0.0))
+    dot_cx = _scalar(0.0, ds.nw)
     for j, cl in enumerate(ds.clusters):
         dot_cx = dd_add(dot_cx, dl.dd_dot(cl.c, x[j]))
     d_obj = dd_add(_dd_scale(dot_cx, ds.sign), ds.constant)
-    CY = (jnp.float64(0.0), jnp.float64(0.0))
+    CY = _scalar(0.0, ds.nw)
     for j, cl in enumerate(ds.clusters):
         for l, b in enumerate(cl.blocks):
             CY = dd_add(CY, dl.dd_dot(b.C, state["Y"][j][l]))
@@ -283,8 +315,8 @@ def _objectives(ds: DeviceSDP, state):
     by = dl.dd_dot(ds.b, y)
     p_obj = dd_add(dd_add(CY, by), ds.constant)
     diff = dd_sub(d_obj, p_obj)
-    gap_num = jnp.abs(diff[0] + diff[1])
-    denom = jnp.maximum(1.0, jnp.abs(d_obj[0] + d_obj[1] + p_obj[0] + p_obj[1]))
+    gap_num = jnp.abs(to_float(diff))
+    denom = jnp.maximum(1.0, jnp.abs(to_float(d_obj) + to_float(p_obj)))
     gap = gap_num / denom
     return d_obj, p_obj, gap
 
@@ -306,14 +338,14 @@ def _step_length(ds, state, keyM, keyMs, dM, dMs, gamma, eig_safety):
         for l, b in enumerate(cl.blocks):
             M, dMb = state[keyM][j][l], dM[j][l]
             if b.n == 1:
-                e = (dMb[0][0, 0] + dMb[1][0, 0]) / (M[0][0, 0] + M[1][0, 0])
+                e = to_float(dd_take(dMb, 0, 0)) / to_float(dd_take(M, 0, 0))
                 min_eig = jnp.minimum(min_eig, e)
                 continue
             L, okb = dl.dd_cholesky(M)
             ok = ok & okb
             W = dl.dd_solve_tril(L, dMb)
             W2 = dl.dd_solve_tril(L, dl.dd_transpose(W))
-            A64 = W2[0] + W2[1]
+            A64 = to_float(W2)
             A64 = 0.5 * (A64 + A64.T)
             # float64 eigh like the reference's Float64 Lanczos
             # (solver.jl:1659); f32 on TPU, where f64 lapack is unavailable.
@@ -325,7 +357,7 @@ def _step_length(ds, state, keyM, keyMs, dM, dMs, gamma, eig_safety):
                 safety = eig_safety
             min_eig = jnp.minimum(min_eig, eigs[0] - safety * (1.0 + jnp.abs(eigs[0])))
         if cl.s_nb:
-            e = (dMs[j][0] + dMs[j][1]) / (state[keyMs][j][0] + state[keyMs][j][1])
+            e = to_float(dMs[j]) / to_float(state[keyMs][j])
             min_eig = jnp.minimum(min_eig, jnp.min(e))
     alpha = jnp.where(min_eig > -gamma, jnp.float64(1.0), -gamma / min_eig)
     return alpha, ok
@@ -353,14 +385,14 @@ def make_assess(ds: DeviceSDP):
         dual_error, primal_error = _errors(Pres, Pres_s, pres, dres)
         d_obj, p_obj, gap = _objectives(ds, state)
         mu_dd = dd_div(_dot_state(ds, state, state),
-                       (jnp.float64(ds.total_size), jnp.float64(0.0)))
+                       _scalar(float(ds.total_size), ds.nw))
         return {
             "dual_error": dual_error,
             "primal_error": primal_error,
-            "d_obj": d_obj[0] + d_obj[1],
-            "p_obj": p_obj[0] + p_obj[1],
+            "d_obj": to_float(d_obj),
+            "p_obj": to_float(p_obj),
             "dual_gap": gap,
-            "mu": mu_dd[0] + mu_dd[1],
+            "mu": to_float(mu_dd),
         }
 
     return jax.jit(assess)
@@ -373,6 +405,7 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
     """Build the jitted one-iteration function."""
 
     K = float(ds.total_size)
+    nw = ds.nw
 
     def step(state, pd_feas_prev):
         X, Y, Xs, Ys = state["X"], state["Y"], state["Xs"], state["Ys"]
@@ -381,13 +414,11 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
         ok_S = jnp.bool_(True)
 
         # step 3: mu and mu_p
-        mu = dd_div(_dot_state(ds, state, state),
-                    (jnp.float64(K), jnp.float64(0.0)))
+        mu = dd_div(_dot_state(ds, state, state), _scalar(K, nw))
         if correctoronly:
             mu_p = mu
         else:
-            mu_p = dd_mul((jnp.where(pd_feas_prev, 0.0, beta_infeasible),
-                           jnp.float64(0.0)), mu)
+            mu_p = dd_mul_f64(mu, jnp.where(pd_feas_prev, 0.0, beta_infeasible))
 
         # chol(X) and X^-1 per block (solver.jl:387-400, 1117-1119)
         Xinv, Xinv_s = [], []
@@ -397,15 +428,14 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
                 L, okb = dl.dd_cholesky(X[j][l])
                 ok = ok & okb
                 ok_X = ok_X & okb
-                inv = dl.dd_solve_cholesky(L, dl.dd_eye(b.n))
+                inv = dl.dd_solve_cholesky(L, dl.dd_eye(b.n, nw))
                 xi.append(dl.dd_symmetrize(inv))
             Xinv.append(xi)
             if cl.s_nb:
                 ok = ok & jnp.all(Xs[j][0] > 0)
-                Xinv_s.append(dd_div((jnp.ones(cl.s_nb), jnp.zeros(cl.s_nb)),
-                                     Xs[j]))
+                Xinv_s.append(dd_div(_scalar(jnp.ones(cl.s_nb), nw), Xs[j]))
             else:
-                Xinv_s.append(dl.dd_zeros((0,)))
+                Xinv_s.append(dl.dd_zeros((0,), nw))
 
         # R = mu I - X Y [- dX dY] (solver.jl:961-983)
         def _residual_R(mu_val, corr=None):
@@ -414,20 +444,20 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
                 Rc = []
                 for l, b in enumerate(cl.blocks):
                     XY = dl.dd_matmul(X[j][l], Y[j][l])
-                    Rb = dd_sub(dd_mul((mu_val[0], mu_val[1]), dl.dd_eye(b.n)), XY)
+                    Rb = dd_sub(dd_mul(mu_val, dl.dd_eye(b.n, nw)), XY)
                     if corr is not None:
                         dXdY = dl.dd_matmul(corr[0][j][l], corr[1][j][l])
                         Rb = dd_sub(Rb, dXdY)
                     Rc.append(Rb)
                 Rs.append(Rc)
                 if cl.s_nb:
-                    Rb = dd_sub(dd_mul(mu_val, (jnp.ones(cl.s_nb), jnp.zeros(cl.s_nb))),
+                    Rb = dd_sub(dd_mul(mu_val, _scalar(jnp.ones(cl.s_nb), nw)),
                                 dd_mul(Xs[j], Ys[j]))
                     if corr is not None:
                         Rb = dd_sub(Rb, dd_mul(corr[2][j], corr[3][j]))
                     Rs_s.append(_dd_scale(Rb, cl.smask))
                 else:
-                    Rs_s.append(dl.dd_zeros((0,)))
+                    Rs_s.append(dl.dd_zeros((0,), nw))
             return Rs, Rs_s
 
         R, R_s = _residual_R(mu_p)
@@ -442,7 +472,7 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
             LinvB = dl.dd_solve_tril(L, cl.B)
             cholSs.append(L)
             LinvBs.append(LinvB)
-        Q = dl.dd_zeros((ds.nfree, ds.nfree))
+        Q = dl.dd_zeros((ds.nfree, ds.nfree), nw)
         for LinvB in LinvBs:
             Q = dd_add(Q, dl.dd_matmul(dl.dd_transpose(LinvB), LinvB))
         cholQ, okq = dl.dd_cholesky(Q)
@@ -468,21 +498,20 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
                     Zs_s.append(dd_mul(Xinv_s[j],
                                        dd_sub(dd_mul(Pres_s[j], Ys[j]), Rcur_s[j])))
                 else:
-                    Zs_s.append(dl.dd_zeros((0,)))
+                    Zs_s.append(dl.dd_zeros((0,), nw))
             # rhs_x = -d - <A_*, Z>  (solver.jl:1519-1525)
             rhs_x = []
             for j, cl in enumerate(ds.clusters):
                 tA = _trace_A_cluster(cl, Zs[j], Zs_s[j])
-                rhs_x.append(dd_sub((-dres[j][0], -dres[j][1]), tA))
+                rhs_x.append(dd_sub(dd_neg(dres[j]), tA))
             # 3-stage triangular solve (solver.jl:1527-1582)
             temp_x, temp_y = [], []
             for j, cl in enumerate(ds.clusters):
-                tx = dl.dd_solve_tril(cholSs[j],
-                                      (rhs_x[j][0][:, None], rhs_x[j][1][:, None]))
+                tx = dl.dd_solve_tril(cholSs[j], _col(rhs_x[j]))
                 ty = dl.dd_matmul(dl.dd_transpose(LinvBs[j]), tx)
                 temp_x.append(tx)
                 temp_y.append(ty)
-            dy = (pres[0][:, None], pres[1][:, None])
+            dy = _col(pres)
             for ty in temp_y:
                 dy = dd_sub(dy, ty)
             dy = dl.dd_solve_cholesky(cholQ, dy)
@@ -490,14 +519,15 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
             for j, cl in enumerate(ds.clusters):
                 t = dd_add(temp_x[j], dl.dd_matmul(LinvBs[j], dy))
                 dxj = dl.dd_solve_triu(dl.dd_transpose(cholSs[j]), t)
-                dx.append((dxj[0][:, 0], dxj[1][:, 0]))
-            dy = (dy[0][:, 0], dy[1][:, 0])
+                dx.append(_col0(dxj))
+            dy = _col0(dy)
             # dX = sum_i dx_i A_i + P (solver.jl:1585-1594)
             dX, dXs = [], []
             for j, cl in enumerate(ds.clusters):
                 wA, wA_s = _weighted_A_cluster(cl, dx[j])
                 dX.append([dd_add(w, Pb) for w, Pb in zip(wA, Pres[j])])
-                dXs.append(dd_add(wA_s, Pres_s[j]) if cl.s_nb else dl.dd_zeros((0,)))
+                dXs.append(dd_add(wA_s, Pres_s[j]) if cl.s_nb
+                           else dl.dd_zeros((0,), nw))
             # dY = X^-1 (R - dX Y), symmetrized (solver.jl:1597-1613)
             dY, dYs = [], []
             for j, cl in enumerate(ds.clusters):
@@ -511,7 +541,7 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
                     dYs.append(dd_mul(Xinv_s[j],
                                       dd_sub(Rcur_s[j], dd_mul(dXs[j], Ys[j]))))
                 else:
-                    dYs.append(dl.dd_zeros((0,)))
+                    dYs.append(dl.dd_zeros((0,), nw))
             return dx, dy, dX, dY, dXs, dYs
 
         # predictor (solver.jl:420-425)
@@ -522,7 +552,7 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
         r_num = dd_add(
             dd_add(_dot_state(ds, state, state), _dot_state(ds, state, dstate)),
             dd_add(_dot_state(ds, dstate, state), _dot_state(ds, dstate, dstate)))
-        r_val = (r_num[0] + r_num[1]) / ((mu[0] + mu[1]) * K)
+        r_val = to_float(r_num) / (to_float(mu) * K)
         beta = jnp.where(r_val < 1.0, r_val ** 2, r_val)
         beta_c = jnp.where(pd_feas_now,
                            jnp.minimum(jnp.maximum(beta_feasible, beta), 1.0),
@@ -546,15 +576,15 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
         d_obj, p_obj, gap = _objectives(ds, new_state)
 
         info = {
-            "mu": mu[0] + mu[1],
+            "mu": to_float(mu),
             "dual_error": dual_error,
             "primal_error": primal_error,
             "pd_feas": pd_feas_now,
             "alpha_d": alpha_d,
             "alpha_p": alpha_p,
             "beta_c": beta_c,
-            "d_obj": d_obj[0] + d_obj[1],
-            "p_obj": p_obj[0] + p_obj[1],
+            "d_obj": to_float(d_obj),
+            "p_obj": to_float(p_obj),
             "dual_gap": gap,
             "ok": ok,
             "ok_X": ok_X,
