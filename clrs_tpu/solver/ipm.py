@@ -61,8 +61,10 @@ def solvesdp(problem, *, prec=None, maxiterations=500,
              preprocess=True, testing=False):
     """Solve; returns (status, dualsol, primalsol, solve_time, errorcode).
 
-    `prec` is accepted for API parity; the device precision is fixed
-    double-word float64 (~106 bits).
+    `prec` selects the precision tier of the on-device expansion arithmetic
+    (the analogue of the reference's Arb bit count, solver.jl:100-128):
+    prec <= 106 (or None) -> double-word f64 (~106 bits, the fast default);
+    prec > 106 -> quad-word f64 (~212 bits, the reference's prec=256 regime).
     """
     if isinstance(problem, Problem):
         sdp = ClusteredLowRankSDP(problem)
@@ -74,7 +76,8 @@ def solvesdp(problem, *, prec=None, maxiterations=500,
     else:
         post = None
 
-    ds = DeviceSDP(sdp)
+    nw = 2 if (prec is None or prec <= 106) else 4
+    ds = DeviceSDP(sdp, nw=nw)
     step = make_step(ds, gamma=gamma, beta_feasible=beta_feasible,
                      beta_infeasible=beta_infeasible,
                      dual_error_threshold=dual_error_threshold,
@@ -251,10 +254,22 @@ def _dd_scalar_array(hi, lo):
     return out
 
 
+def _two(ws):
+    """Collapse an nw-word tuple to (hi, lo) numpy arrays.
+
+    Words decrease by >= 2^-53 per position, so summing the tail into `lo`
+    loses nothing representable in the DDScalar output type."""
+    hi = np.asarray(ws[0])
+    lo = np.asarray(ws[1]).copy()
+    for w in ws[2:]:
+        lo = lo + np.asarray(w)
+    return hi, lo
+
+
 def _extract(ds, sdp: ClusteredLowRankSDP, state, post=None):
     """Device state -> (DualSolution, PrimalSolution) (solver.jl:746-790)."""
-    x = [(np.asarray(h), np.asarray(l)) for h, l in state["x"]]
-    yh, yl = np.asarray(state["y"][0]), np.asarray(state["y"][1])
+    x = [_two(ws) for ws in state["x"]]
+    yh, yl = _two(state["y"])
     if post is not None:
         x, (yh, yl) = post(x, (yh, yl))
     # undo the exact power-of-two free-variable equilibration
@@ -267,10 +282,8 @@ def _extract(ds, sdp: ClusteredLowRankSDP, state, post=None):
     matrixvars_dual = {}
     for j, cl in enumerate(sdp.clusters):
         if cl.scalars is not None:
-            Xsh = np.asarray(state["Xs"][j][0])
-            Xsl = np.asarray(state["Xs"][j][1])
-            Ysh = np.asarray(state["Ys"][j][0])
-            Ysl = np.asarray(state["Ys"][j][1])
+            Xsh, Xsl = _two(state["Xs"][j])
+            Ysh, Ysl = _two(state["Ys"][j])
             for bidx, (name, use_block) in enumerate(cl.scalars.names):
                 key = Block(name, 1, 1) if use_block else name
                 matrixvars[key] = _dd_scalar_array(
@@ -278,10 +291,8 @@ def _extract(ds, sdp: ClusteredLowRankSDP, state, post=None):
                 matrixvars_dual[key] = _dd_scalar_array(
                     Xsh[bidx:bidx + 1, None], Xsl[bidx:bidx + 1, None])
         for l, bd in enumerate(cl.blocks):
-            Yh = np.asarray(state["Y"][j][l][0])
-            Yl = np.asarray(state["Y"][j][l][1])
-            Xh = np.asarray(state["X"][j][l][0])
-            Xl = np.asarray(state["X"][j][l][1])
+            Yh, Yl = _two(state["Y"][j][l])
+            Xh, Xl = _two(state["X"][j][l])
             use_block, nsub = sdp.matrix_coeff_blocks[j][l]
             delta = bd.delta
             for r in range(nsub):
@@ -382,11 +393,16 @@ def _warm_start(ds, sdp, state, dualsol: DualSolution, primalsol: PrimalSolution
                 yh[i] *= sk
                 yl[i] *= sk
 
+    def pad(ws):
+        """zero-pad a (hi, lo) pair to the device word count (exact embed)."""
+        t = tuple(jnp.asarray(w) for w in ws)
+        return t + tuple(jnp.zeros_like(t[0]) for _ in range(ds.nw - len(t)))
+
     return {
-        "x": [(jnp.asarray(h), jnp.asarray(l)) for h, l in x],
-        "y": (jnp.asarray(yh), jnp.asarray(yl)),
-        "X": X,
-        "Y": Y,
-        "Xs": Xs,
-        "Ys": Ys,
+        "x": [pad(hl) for hl in x],
+        "y": pad((yh, yl)),
+        "X": [[pad(blk) for blk in cl] for cl in X],
+        "Y": [[pad(blk) for blk in cl] for cl in Y],
+        "Xs": [pad(p) for p in Xs],
+        "Ys": [pad(p) for p in Ys],
     }
