@@ -16,9 +16,35 @@ from sympy import nextprime
 __all__ = ["find_pivots_modular", "rref_mod_p"]
 
 
+def _rref_native(a_mod: np.ndarray, p: int):
+    """C++ RREF kernel via ctypes; None if the native lib is unavailable."""
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    a = np.ascontiguousarray(np.asarray(a_mod, dtype=np.int64) % p,
+                             dtype=np.uint64)
+    m, n = a.shape
+    if m == 0 or n == 0:
+        return [], a.astype(np.int64)
+    pivots = np.zeros(min(m, n), dtype=np.int64)
+    rank = lib.rref_mod_p_u64(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), m, n, p,
+        pivots.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return [int(c) for c in pivots[:rank]], a.astype(np.int64)
+
+
 def rref_mod_p(a_mod: np.ndarray, p: int):
-    """In-place RREF of an int64 matrix already reduced mod p; returns pivot
-    columns."""
+    """RREF of an int64 matrix already reduced mod p; returns (pivot columns,
+    reduced matrix). Uses the native C++ kernel when available (the FLINT
+    nmod_mat role, rounding.jl:288-333), falling back to numpy."""
+    if 2 <= p < 2 ** 62:
+        native = _rref_native(a_mod, p)
+        if native is not None:
+            return native
     a = a_mod % p
     m, n = a.shape
     pivots = []

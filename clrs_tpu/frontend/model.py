@@ -322,14 +322,11 @@ class Model:
                 if const != 0:
                     raise ValueError("infeasible constant constraint")
                 continue
-            sig = (tuple(sorted((k, tuple(map(tuple, m)))
-                                for k, m in ((k, [[x for x in row] for row in m])
-                                             for k, m in mats.items()))),
-                   tuple(sorted(free.items(), key=repr)), const)
-            key = repr(sig)
-            if key in seen:  # exact duplicates (e.g. Hermitian redundancy)
+            sig = repr((sorted((k, m.tolist()) for k, m in mats.items()),
+                        sorted(free.items(), key=repr), const))
+            if sig in seen:  # exact duplicates (e.g. Hermitian redundancy)
                 continue
-            seen.add(key)
+            seen.add(sig)
             # constraint is expr == 0  =>  <A,Y> + B y = -const
             cons.append(Constraint(-const, mats, free))
         self.problem = Problem(
