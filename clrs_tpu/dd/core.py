@@ -97,8 +97,41 @@ def _vec_sum(cs):
     return out
 
 
+def _is_jax(v):
+    return type(v).__module__.split(".")[0] in ("jax", "jaxlib")
+
+
+def _renorm_scan(cs, nw, sweeps):
+    """Scan-based renorm for jax arrays: the two_sum sweeps run as
+    `lax.scan` over a word-stacked array, so each multi-word op costs
+    O(1) top-level jaxpr equations instead of O(words * sweeps * 6).
+    This is what makes the quad-word solver graph compilable (measured:
+    615k primitives -> small for the cohnelkies step at nw=4)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    cs = jnp.broadcast_arrays(*[jnp.asarray(c, dtype=jnp.float64) for c in cs])
+    W = jnp.stack(cs)
+
+    def sweep(W, _):
+        def body(s, w):
+            s2, e = two_sum(w, s)
+            return s2, e
+        s, es = lax.scan(body, W[-1], W[:-1], reverse=True)
+        return jnp.concatenate([s[None], es], axis=0), None
+
+    W, _ = lax.scan(sweep, W, None, length=sweeps)
+    out = list(W[:nw])
+    # fold sub-target words into the last kept word (below eps^nw relative)
+    for i in range(nw, W.shape[0]):
+        out[-1] = out[-1] + W[i]
+    return tuple(out)
+
+
 def _renorm(cs, nw, sweeps=3):
     """Compress an expansion (list, roughly decreasing) to nw words."""
+    if len(cs) > nw and any(_is_jax(c) for c in cs):
+        return _renorm_scan(cs, nw, sweeps)
     for _ in range(sweeps):
         cs = _vec_sum(cs)
     cs = list(cs)
