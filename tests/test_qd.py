@@ -98,6 +98,22 @@ def test_qd_vectorized_and_jit():
         assert _relerr(gi, exact) < Fraction(1, 2**180)
 
 
+def _spd_dynamic_range(n, scale_exps, seed=7):
+    """Exactly-symmetric SPD f64 matrix with huge entry dynamic range.
+
+    Floating-point D@A@D is asymmetric at the ulp level ((d_i*a_ij)*d_j vs
+    (d_j*a_ji)*d_i round differently), and L@L.T is exactly symmetric, so a
+    Cholesky residual against an asymmetric A can never beat ~1 ulp of the
+    largest entry. Mirror the lower triangle to make A exactly symmetric.
+    """
+    rng2 = np.random.default_rng(seed)
+    M = rng2.standard_normal((n, n))
+    A = M @ M.T + n * np.eye(n)
+    D = np.diag(10.0 ** np.asarray(scale_exps, dtype=np.float64))
+    A = D @ A @ D
+    return np.tril(A) + np.tril(A, -1).T
+
+
 def test_qd_linalg():
     """quad-word GEMM / Cholesky / triangular solve accuracy (CPU, jitted)."""
     import jax
@@ -107,13 +123,7 @@ def test_qd_linalg():
     from clrs_tpu.dd import linalg as dl
 
     n = 6
-    # random SPD matrix with huge dynamic range (scale ~1e12) to stress
-    # beyond double-word capability
-    rng2 = np.random.default_rng(7)
-    M = rng2.standard_normal((n, n))
-    A = M @ M.T + n * np.eye(n)
-    D = np.diag(10.0 ** np.arange(0, 12, 2))
-    A = D @ A @ D
+    A = _spd_dynamic_range(n, np.arange(0, 12, 2))
     Aq = dl.dd_array(jnp.asarray(A), nw=4)
 
     L, ok = jax.jit(dl.dd_cholesky)(Aq)
@@ -130,6 +140,55 @@ def test_qd_linalg():
     err = np.asarray(sum(dd_sub(AX, dl.dd_eye(n, nw=4)), jnp.zeros((n, n))))
     # conditioning of A (~1e24 scale^2) eats precision; qd leaves plenty
     assert np.max(np.abs(err)) < 1e-30
+
+
+@pytest.mark.parametrize("nw,tol_bits", [(2, 95), (4, 198)])
+def test_linalg_dynamic_range_accuracy(nw, tol_bits):
+    """GEMM/Cholesky/trisolve accuracy matrix under entry dynamic range,
+    checked entrywise against exact Fraction arithmetic (VERDICT r1 #2)."""
+    import jax.numpy as jnp
+
+    import clrs_tpu  # noqa: F401
+    from clrs_tpu.dd import linalg as dl
+
+    n = 5
+    A = _spd_dynamic_range(n, [0, 2, 5, 7, 9], seed=11)
+    Aq = dl.dd_array(jnp.asarray(A), nw=nw)
+    AF = [[Fraction(A[i, j]) for j in range(n)] for i in range(n)]
+
+    # GEMM: A @ A entrywise vs exact
+    C = dl.dd_matmul(Aq, Aq)
+    Cw = [np.asarray(c) for c in C]
+    for i in range(n):
+        for j in range(n):
+            exact = sum(AF[i][k] * AF[k][j] for k in range(n))
+            got = words_to_fraction([np.float64(c[i, j]) for c in Cw])
+            assert abs((got - exact) / exact) < Fraction(1, 2**tol_bits)
+
+    # Cholesky residual, entrywise relative to the entry scale
+    L, ok = dl.dd_cholesky(Aq)
+    assert bool(ok)
+    Lw = [np.asarray(c) for c in L]
+    LF = [[words_to_fraction([np.float64(c[i, j]) for c in Lw])
+           for j in range(n)] for i in range(n)]
+    for i in range(n):
+        for j in range(n):
+            llt = sum(LF[i][k] * LF[j][k] for k in range(n))
+            scale = max(abs(AF[i][i]), abs(AF[j][j]))
+            assert abs(llt - AF[i][j]) < scale * Fraction(1, 2**tol_bits)
+
+    # triangular solve L X = I: check L @ X == I entrywise
+    X = dl.dd_solve_tril(L, dl.dd_eye(n, nw=nw))
+    Xw = [np.asarray(c) for c in X]
+    XF = [[words_to_fraction([np.float64(c[i, j]) for c in Xw])
+           for j in range(n)] for i in range(n)]
+    for i in range(n):
+        for j in range(n):
+            lx = sum(LF[i][k] * XF[k][j] for k in range(n))
+            want = Fraction(1 if i == j else 0)
+            # absolute tolerance: terms in L@X reach ~2^30 (L diag spans
+            # 1e0..1e9), so tol_bits-35 absolute == ~tol_bits relative
+            assert abs(lx - want) < Fraction(1, 2**(tol_bits - 35))
 
 
 def test_to_words_roundtrip():
