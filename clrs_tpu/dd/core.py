@@ -21,6 +21,19 @@ from __future__ import annotations
 import numpy as np
 
 _SPLIT = 134217729.0  # 2**27 + 1, Dekker split constant for binary64
+_SPLIT32 = np.float32(4097.0)  # 2**12 + 1, Dekker split constant for binary32
+
+
+def _split_const(a):
+    """Dekker split constant for the dtype of ``a`` (f64 or f32).
+
+    The f32 words are the TPU-sound substrate: on this chip f32 add/mul are
+    exactly IEEE while f64 is an unsound emulation (NOTES_TPU_NUMERICS.md),
+    so error-free transforms built on f32 are valid on-device."""
+    dt = getattr(a, "dtype", None)
+    if dt is not None and dt == np.float32:
+        return _SPLIT32
+    return _SPLIT
 
 
 def _bar(*vals):
@@ -55,8 +68,9 @@ def quick_two_sum(a, b):
 
 
 def split(a):
-    """Dekker split of a float64 into two non-overlapping ~26-bit halves."""
-    t = _bar(_SPLIT * a)
+    """Dekker split into two non-overlapping halves (f64: ~26 bits each,
+    f32: ~12 bits each, so half-products are exact in the working dtype)."""
+    t = _bar(_split_const(a) * a)
     ahi = _bar(t - _bar(t - a))
     alo = a - ahi
     return ahi, alo
@@ -110,7 +124,14 @@ def _renorm_scan(cs, nw, sweeps):
     import jax.numpy as jnp
     from jax import lax
 
-    cs = jnp.broadcast_arrays(*[jnp.asarray(c, dtype=jnp.float64) for c in cs])
+    dt = None
+    for c in cs:
+        d = getattr(c, "dtype", None)
+        if d is not None and d in (jnp.float32, jnp.float64):
+            dt = d
+            break
+    dt = dt or jnp.float64
+    cs = jnp.broadcast_arrays(*[jnp.asarray(c, dtype=dt) for c in cs])
     W = jnp.stack(cs)
 
     def sweep(W, _):
@@ -142,6 +163,7 @@ def _renorm(cs, nw, sweeps=3):
 
 
 def qd_add(x, y):
+    """Generic n-word expansion add (any word count, any float dtype)."""
     merged = []
     for a, b in zip(x, y):
         merged.append(a)
@@ -149,36 +171,76 @@ def qd_add(x, y):
     return _renorm(merged, len(x))
 
 
+def _newton_iters(nw):
+    """Newton doublings needed to reach nw words from a 1-word seed."""
+    it = 0
+    reach = 1
+    while reach < nw:
+        reach *= 2
+        it += 1
+    return max(it, 2)
+
+
 def qd_mul(x, y):
-    """Quad-word product, accurate to O(eps^4)."""
-    p00, e00 = two_prod(x[0], y[0])
-    p01, e01 = two_prod(x[0], y[1])
-    p10, e10 = two_prod(x[1], y[0])
-    p02, e02 = two_prod(x[0], y[2])
-    p11, e11 = two_prod(x[1], y[1])
-    p20, e20 = two_prod(x[2], y[0])
-    # O(eps^3) terms: plain products (their own error is O(eps^4))
-    t3 = (x[0] * y[3] + x[3] * y[0]) + (x[1] * y[2] + x[2] * y[1]) \
-        + ((e02 + e20) + e11)
-    cs = [p00, p01, p10, e00, p02, p11, p20, e01, e10, t3]
-    return _renorm(cs, 4)
+    """Generic n-word expansion product, accurate to O(eps^nw).
+
+    Diagonal d (= i+j) terms are order eps^d relative to the result:
+    error-free products for d < nw-1 (their residuals are order eps^(d+1)),
+    plain products on the last kept diagonal d = nw-1 (their own rounding
+    is order eps^nw, below the target). Matches the hand-written quad-word
+    version for nw = 4 and extends to the f32-expansion substrate."""
+    nw = len(x)
+    if nw == 1:
+        return (x[0] * y[0],)
+    cs = []
+    prev_errs = []
+    for d in range(nw - 1):
+        ps, errs = [], []
+        for i in range(d + 1):
+            p, e = two_prod(x[i], y[d - i])
+            ps.append(p)
+            errs.append(e)
+        cs.extend(ps)
+        cs.extend(prev_errs)
+        prev_errs = errs
+    last = x[0] * y[nw - 1]
+    for i in range(1, nw):
+        last = last + x[i] * y[nw - 1 - i]
+    for e in prev_errs:
+        last = last + e
+    cs.append(last)
+    return _renorm(cs, nw)
 
 
 def qd_mul_f64(x, a):
-    p0, e0 = two_prod(x[0], a)
-    p1, e1 = two_prod(x[1], a)
-    p2, e2 = two_prod(x[2], a)
-    p3 = x[3] * a
-    cs = [p0, p1, e0, p2, e1, p3, e2]
-    return _renorm(cs, 4)
+    """n-word expansion times a single working-precision float."""
+    nw = len(x)
+    cs = []
+    prev_e = None
+    for i in range(nw - 1):
+        p, e = two_prod(x[i], a)
+        cs.append(p)
+        if prev_e is not None:
+            cs.append(prev_e)
+        prev_e = e
+    cs.append(x[nw - 1] * a + prev_e)
+    return _renorm(cs, nw)
+
+
+def _ex_scalar(v, like, nw):
+    """nw-word expansion of scalar v broadcast like ``like``."""
+    z = like * 0.0
+    return (v + z,) + (z,) * (nw - 1)
 
 
 def qd_div(x, y):
-    """Newton iteration on the reciprocal (two doublings + one refinement)."""
-    one = (1.0 + y[0] * 0.0, y[0] * 0.0, y[0] * 0.0, y[0] * 0.0)
+    """Newton iteration on the reciprocal (doublings + one refinement)."""
+    nw = len(x)
+    one = _ex_scalar(1.0, y[0], nw)
     r0 = 1.0 / y[0]
-    r = (r0, r0 * 0.0, r0 * 0.0, r0 * 0.0)
-    for _ in range(3):                       # 53 -> 106 -> 212 bits (+margin)
+    r = _ex_scalar(0.0, r0, nw)
+    r = (r0,) + r[1:]
+    for _ in range(_newton_iters(nw) + 1):
         e = qd_add(one, qd_neg(qd_mul(y, r)))
         r = qd_add(r, qd_mul(r, e))
     q = qd_mul(x, r)
@@ -187,14 +249,15 @@ def qd_div(x, y):
 
 
 def qd_sqrt(x, xp=np):
-    """Quad-word sqrt via Newton on the inverse square root (no division)."""
+    """n-word sqrt via Newton on the inverse square root (no division)."""
+    nw = len(x)
     y0 = 1.0 / xp.sqrt(x[0])
-    y = (y0, y0 * 0.0, y0 * 0.0, y0 * 0.0)
+    y = (y0,) + tuple(y0 * 0.0 for _ in range(nw - 1))
     half = -0.5
-    for _ in range(3):
+    for _ in range(_newton_iters(nw) + 1):
         # y <- y + y * (1 - x*y*y)/2
         t = qd_mul(x, qd_mul(y, y))
-        e = qd_mul_f64(qd_add(t, (-1.0 + t[0] * 0.0, t[0] * 0.0, t[0] * 0.0, t[0] * 0.0)), half)
+        e = qd_mul_f64(qd_add(t, _ex_scalar(-1.0, t[0], nw)), half)
         y = qd_add(y, qd_mul(y, e))
     r = qd_mul(x, y)
     # one final correction: r <- r + (x - r^2) * y / 2
@@ -219,9 +282,9 @@ def dd_add(x, y):
 
 
 def dd_add_f64(x, a):
-    """multi-word + float64."""
+    """multi-word + single working-precision float."""
     if len(x) != 2:
-        return _renorm([x[0], a, x[1], x[2], x[3]], 4)
+        return _renorm([x[0], a] + list(x[1:]), len(x))
     s1, s2 = two_sum(x[0], a)
     s2 = s2 + x[1]
     return quick_two_sum(s1, s2)
@@ -311,8 +374,8 @@ def dd_lt(x, y):
     return _lex_after_first(x, y, 0, np, operator.lt)
 
 
-def from_float(a, xp=np, nw=2):
-    a = xp.asarray(a, dtype=xp.float64)
+def from_float(a, xp=np, nw=2, dtype=None):
+    a = xp.asarray(a, dtype=dtype or xp.float64)
     z = xp.zeros_like(a)
     return (a,) + (z,) * (nw - 1)
 

@@ -1,0 +1,167 @@
+"""TPU-exact GEMM for f32-expansion operands via int8 limbs on the MXU.
+
+This is the device GEMM of the TPU-native numeric substrate (the equivalent
+of the reference's Arb matmul, ClusteredLowRankSolver.jl src/tools.jl:175-266
+`matmul_threaded!`). On this chip f64 is an unsound emulation but f32 add/mul
+are exactly IEEE and int8 x int8 -> int32 `dot_general` is exact
+(NOTES_TPU_NUMERICS.md), so:
+
+ 1. scale each row of A (column of B) by a power of two so the expansion
+    value lies in [-1/2, 1/2] (exact f32 scaling by bit-built pow2 factors),
+ 2. extract L limbs of 7 bits each from the scaled expansion; each limb is an
+    integer in [-65, 65] stored in int8. Extraction uses exact f32 vec_sum
+    compression + the magic-constant rint, so the limbs represent the FULL
+    expansion value (truncation below 2^-(7L) relative to the row scale),
+ 3. run ONE (L*M, K) @ (K, L*N) int8->int32 GEMM on the MXU — exact for
+    K <= 2^14 (limb products <= 2^13, L <= 32 summands per diagonal),
+ 4. sum limb-pair tiles per significance diagonal d = ta + tb in int32
+    (exact), split each int32 into two exactly-f32-representable halves,
+    scale by the exact power-of-two row/col exponents, and cascade into an
+    nw-word f32 expansion with error-free transforms.
+
+Every step is exact in IEEE f32 / int8 / int32 arithmetic, all of which this
+TPU implements exactly; the only losses are the final rounding into nw words
+and the f32 exponent floor (contributions below ~1e-45 absolute flush to
+zero — the chip's emulated f64 has the same exponent range).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core import _bar, _renorm, _vec_sum
+
+LIMB_BITS = 7
+_MAGIC32 = np.float32(1.5 * 2.0 ** 23)  # round-to-nearest-integer for f32
+_F_RADIX = np.float32(1 << LIMB_BITS)
+# int8 GEMM accumulates limb products (<= 2^13 each + sign) in int32;
+# per-diagonal sums add <= L <= 48 tiles
+MAX_K_EXACT = 1 << 13
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _pow2_f32(e):
+    """Exact f32 power of two for |e| <= 126 via bit construction."""
+    e = jnp.asarray(e, dtype=jnp.int32)
+    bits = ((e + 127).astype(jnp.uint32) << 23)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def mul_pow2_f32(x, e, steps=4):
+    """x * 2^e with x f32, e int32 array; exact wherever the result is
+    representable (|e| <= 126*steps covered)."""
+    e = jnp.asarray(e, dtype=jnp.int32)
+    out = x
+    rem = e
+    for _ in range(steps):
+        h = jnp.clip(rem, -126, 126)
+        out = out * _pow2_f32(h)
+        rem = rem - h
+    return out
+
+
+def _row_exp_f32(hi, axis):
+    """int32 exponent e per row/col with |hi| * 2^-e <= 1/2 (exact bit math)."""
+    mag = jnp.max(jnp.abs(hi), axis=axis, keepdims=True)
+    mag = jnp.where(mag == 0, jnp.float32(1.0), mag)
+    bits = jax.lax.bitcast_convert_type(mag, jnp.uint32)
+    e = ((bits >> 23) & jnp.uint32(0xFF)).astype(jnp.int32) - 126
+    return e + 1  # margin: |v| <= 1/2 after scaling
+
+
+def _rint32(y):
+    """Nearest integer via the magic-constant trick (hardware RN-even add);
+    jnp.round may lower differently across fusions of the same graph."""
+    return _bar(_bar(y + _MAGIC32) - _MAGIC32)
+
+
+def _extract_limbs(words, L):
+    """Split a scaled f32 expansion (|value| <= ~1/2) into L int8 limbs.
+
+    value = sum_t limb_t * 2^-(LIMB_BITS*(t+1)) + r, |r| < 2^-(LIMB_BITS*L),
+    every limb an integer in [-65, 65]. All f32 ops exact."""
+    r = list(words)
+    limbs = []
+    for _ in range(L):
+        r = [c * _F_RADIX for c in r]            # exact pow2 scaling
+        if len(r) > 1:
+            r = _vec_sum(r)                      # error-free compression
+        d = _rint32(r[0])
+        r[0] = r[0] - d                          # exact (same ulp grid)
+        limbs.append(d.astype(jnp.int8))
+    return limbs
+
+
+def _int32_to_f32_pair(t):
+    """Split int32 into (hi, lo) with t = hi + lo exactly, both f32-exact."""
+    hi_i = t >> 15                               # floor shift, |hi_i| <= 2^16
+    lo_i = t - (hi_i << 15)                      # in [0, 2^15)
+    hi = hi_i.astype(jnp.float32) * jnp.float32(1 << 15)
+    lo = lo_i.astype(jnp.float32)
+    return hi, lo
+
+
+def fx_matmul(a, b, nw=None):
+    """f32-expansion GEMM (M,K)@(K,N) -> nw-word f32 expansion.
+
+    a, b: tuples of same-shape f32 word arrays. Exact up to the final
+    nw-word rounding + truncation below 2^-(24*nw+10) relative to
+    rowscale(A)*colscale(B), on any backend whose f32/int8/int32 are IEEE
+    (this TPU, CPU)."""
+    nw = nw or len(a)
+    m, k = a[0].shape
+    n = b[0].shape[1]
+    if k == 0 or m == 0 or n == 0:
+        z = jnp.zeros((m, n), dtype=jnp.float32)
+        return (z,) * nw
+
+    # target + guard bits; the guard absorbs the row*col-scale vs per-entry
+    # error-model difference (see slice_gemm.py)
+    bits_needed = 24 * nw + 21
+    L = _ceil_div(bits_needed, LIMB_BITS)
+    assert L <= 48 and k <= MAX_K_EXACT, (L, k)
+
+    ea = _row_exp_f32(a[0], axis=1)              # (M,1)
+    eb = _row_exp_f32(b[0], axis=0)              # (1,N)
+    asc = tuple(mul_pow2_f32(c, -ea) for c in a)
+    bsc = tuple(mul_pow2_f32(c, -eb) for c in b)
+
+    la = _extract_limbs(asc, L)                  # L x (M,K) int8
+    lb = _extract_limbs(bsc, L)                  # L x (K,N) int8
+
+    A = jnp.concatenate(la, axis=0)              # (L*M, K)
+    B = jnp.concatenate(lb, axis=1)              # (K, L*N)
+    C = jax.lax.dot_general(A, B, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+
+    # per-diagonal int32 sums (exact: <= L tiles of K products <= 2^13)
+    diags = [None] * (2 * L - 1)
+    for ta in range(L):
+        for tb in range(L):
+            d = ta + tb
+            if d * LIMB_BITS > bits_needed:
+                continue                         # below truncation floor
+            tile = jax.lax.slice(C, (ta * m, tb * n),
+                                 ((ta + 1) * m, (tb + 1) * n))
+            diags[d] = tile if diags[d] is None else diags[d] + tile
+
+    # cascade into an (nw+2)-word expansion, most significant first
+    eab = (ea + eb).astype(jnp.int32)            # (M,N)
+    exp = None
+    for d, tile in enumerate(diags):
+        if tile is None:
+            continue
+        hi, lo = _int32_to_f32_pair(tile)
+        sc = eab - LIMB_BITS * (d + 2)
+        hi = mul_pow2_f32(hi, sc)
+        lo = mul_pow2_f32(lo, sc)
+        if exp is None:
+            exp = [hi, lo]
+        else:
+            exp = list(_renorm(exp + [hi, lo], nw + 2, sweeps=1))
+    return tuple(_renorm(exp, nw, sweeps=2))

@@ -60,19 +60,24 @@ def cmap(f, x):
     return tuple(f(c) for c in x)
 
 
-def dd_array(a, nw=2):
-    a = jnp.asarray(a, dtype=jnp.float64)
+def wdtype(x):
+    """Working dtype of a multi-word value."""
+    return getattr(x[0], "dtype", jnp.float64)
+
+
+def dd_array(a, nw=2, dtype=None):
+    a = jnp.asarray(a, dtype=dtype or jnp.float64)
     z = jnp.zeros_like(a)
     return (a,) + (z,) * (nw - 1)
 
 
-def dd_zeros(shape, nw=2):
-    z = jnp.zeros(shape, dtype=jnp.float64)
+def dd_zeros(shape, nw=2, dtype=None):
+    z = jnp.zeros(shape, dtype=dtype or jnp.float64)
     return (z,) * nw
 
 
-def dd_eye(n, nw=2):
-    e = jnp.eye(n, dtype=jnp.float64)
+def dd_eye(n, nw=2, dtype=None):
+    e = jnp.eye(n, dtype=dtype or jnp.float64)
     return (e,) + (jnp.zeros_like(e),) * (nw - 1)
 
 
@@ -95,7 +100,7 @@ def dd_sum(x, axis):
         ws = list(s)
         n = half
     if ws[0].shape[0] == 0:
-        z = jnp.zeros(ws[0].shape[1:], dtype=jnp.float64)
+        z = jnp.zeros(ws[0].shape[1:], dtype=ws[0].dtype)
         return (z,) * len(ws)
     return tuple(c[0] for c in ws)
 
@@ -115,17 +120,34 @@ def dd_max_abs(x):
 def dd_matmul(a, b):
     """Multi-word GEMM: (M,K) @ (K,N) -> (M,N).
 
-    Double-word path: hi*hi contributions use an error-free product with
-    Dot2-style compensated accumulation over K; the eps-magnitude cross terms
-    Ah@Bl + Al@Bh are safe in plain f64 GEMMs (their rounding is O(eps^2)
-    relative to the result). Quad-word path: full expansion products with a
-    compensated tree reduction over K.
+    Dispatch (the universal hot kernel, the equivalent of the reference's
+    `matmul_threaded!`, ClusteredLowRankSolver.jl src/tools.jl:175-266):
+
+    - f32 expansions -> :func:`limb_gemm.fx_matmul`: ONE int8->int32 MXU
+      GEMM over limb-stacked operands + exact f32 recombination. This is
+      the TPU-sound path (device f64 is an unsound emulation).
+    - f64 words on IEEE backends (CPU) -> :func:`slice_gemm.slice_matmul`:
+      ONE f64 GEMM over mantissa-slice-stacked operands. Replaces the
+      round-1 sequential fori_loop of rank-1 updates (the 0.385x-baseline
+      bottleneck) with a single large GEMM.
+    - f64 words elsewhere -> compensated fori_loop fallback.
     """
     m, k = a[0].shape
     n = b[0].shape[1]
     nw = len(a)
+    dt = wdtype(a)
     if k == 0 or m == 0 or n == 0:
-        return dd_zeros((m, n), nw)
+        return dd_zeros((m, n), nw, dtype=dt)
+
+    if dt == jnp.float32:
+        from .limb_gemm import fx_matmul
+
+        return fx_matmul(a, b)
+
+    if jax.default_backend() != "tpu":
+        from .slice_gemm import slice_matmul
+
+        return slice_matmul(a, b)
 
     if nw == 2:
         ah, al = a
@@ -179,7 +201,8 @@ def dd_cholesky(a):
     if n == 0:
         return a, jnp.bool_(True)
     idx = jnp.arange(n)
-    one = (jnp.float64(1.0),) + (jnp.float64(0.0),) * (nw - 1)
+    dt = wdtype(a)
+    one = (jnp.ones((), dt),) + (jnp.zeros((), dt),) * (nw - 1)
 
     def body(j, carry):
         ws, ok = carry
@@ -219,7 +242,7 @@ def dd_solve_tril(l, b):
 
     def body(i, x):
         row = tuple(c[i, :] for c in l)
-        mask = (idx < i).astype(jnp.float64)
+        mask = (idx < i).astype(wdtype(l))
         contrib = dd_mul(cmap(lambda c: c[:, None] * mask[:, None], row), x)
         s = dd_sum(contrib, axis=0)
         rhs = dd_sub(tuple(c[i, :] for c in b), s)
@@ -241,7 +264,7 @@ def dd_solve_triu(u, b):
     def body(t, x):
         i = n - 1 - t
         row = tuple(c[i, :] for c in u)
-        mask = (idx > i).astype(jnp.float64)
+        mask = (idx > i).astype(wdtype(u))
         contrib = dd_mul(cmap(lambda c: c[:, None] * mask[:, None], row), x)
         s = dd_sum(contrib, axis=0)
         rhs = dd_sub(tuple(c[i, :] for c in b), s)

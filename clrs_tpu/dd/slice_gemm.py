@@ -126,7 +126,12 @@ def slice_matmul(a, b, nw=None):
         z = jnp.zeros((m, n), dtype=jnp.float64)
         return (z,) * nw
 
-    bits_needed = 53 * nw + 12                    # target + guard bits
+    # target + guard bits. The guard absorbs the row*col-scale vs per-entry
+    # error-model difference: slice truncation is relative to
+    # rowmax(A)*colmax(B), while the Dot2 loop it replaces errs relative to
+    # each entry's own sum_k |a_ik b_kj|; 29 extra bits keep the slice path
+    # at least as accurate unless the mismatch exceeds 2^29.
+    bits_needed = 53 * nw + 29
     lk = _ceil_log2(k)
     sbits = (53 - lk - 8) // 2
     sbits = max(4, min(24, sbits))

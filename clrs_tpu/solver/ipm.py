@@ -58,13 +58,19 @@ def solvesdp(problem, *, prec=None, maxiterations=500,
              primalsol: Optional[PrimalSolution] = None,
              safe_step=True, correctoronly=False,
              save_settings: Optional[SaveSettings] = None,
-             preprocess=True, testing=False):
+             preprocess=True, testing=False, substrate=None):
     """Solve; returns (status, dualsol, primalsol, solve_time, errorcode).
 
     `prec` selects the precision tier of the on-device expansion arithmetic
     (the analogue of the reference's Arb bit count, solver.jl:100-128):
-    prec <= 106 (or None) -> double-word f64 (~106 bits, the fast default);
-    prec > 106 -> quad-word f64 (~212 bits, the reference's prec=256 regime).
+    prec <= 106 (or None) -> the ~106-bit tier (the fast default);
+    prec > 106 -> the ~212-bit tier (the reference's prec=256 regime).
+
+    `substrate` selects the word type: "f64" (double/quad-word float64 —
+    exact only on IEEE backends, i.e. CPU), "f32" (n-word f32 expansions —
+    exact on this TPU, whose f32 is IEEE while its f64 is an unsound
+    emulation; GEMMs run as exact int8-limb MXU products), or None to pick
+    automatically from the active JAX backend.
     """
     if isinstance(problem, Problem):
         sdp = ClusteredLowRankSDP(problem)
@@ -76,8 +82,21 @@ def solvesdp(problem, *, prec=None, maxiterations=500,
     else:
         post = None
 
-    nw = 2 if (prec is None or prec <= 106) else 4
-    ds = DeviceSDP(sdp, nw=nw)
+    import jax
+    import jax.numpy as jnp
+
+    if substrate is None:
+        substrate = "f32" if jax.default_backend() == "tpu" else "f64"
+    hi_tier = not (prec is None or prec <= 106)
+    if substrate == "f32":
+        # ~24 effective bits/word; 5 words ~ the dd tier. The high tier is
+        # capped at 8 words: the f32 exponent floor (subnormals, ~1e-45
+        # absolute) limits how many non-overlapping words a small value can
+        # carry, so words beyond 8 only ever underflow.
+        nw, dtype = (8 if hi_tier else 5), jnp.float32
+    else:
+        nw, dtype = (4 if hi_tier else 2), jnp.float64
+    ds = DeviceSDP(sdp, nw=nw, dtype=dtype)
     step = make_step(ds, gamma=gamma, beta_feasible=beta_feasible,
                      beta_infeasible=beta_infeasible,
                      dual_error_threshold=dual_error_threshold,
@@ -255,14 +274,24 @@ def _dd_scalar_array(hi, lo):
 
 
 def _two(ws):
-    """Collapse an nw-word tuple to (hi, lo) numpy arrays.
+    """Collapse an nw-word tuple to (hi, lo) float64 numpy arrays.
 
-    Words decrease by >= 2^-53 per position, so summing the tail into `lo`
-    loses nothing representable in the DDScalar output type."""
-    hi = np.asarray(ws[0])
-    lo = np.asarray(ws[1]).copy()
+    f64 words decrease by >= 2^-53 per position, so summing the tail into
+    `lo` loses nothing representable in the DDScalar output type. f32 words
+    (the TPU substrate) are accumulated with host double-word adds so the
+    full ~106-bit content survives the conversion."""
+    if np.asarray(ws[0]).dtype == np.float32:
+        from ..dd.core import dd_add_f64 as _host_dd_add
+
+        h = np.asarray(ws[0], dtype=np.float64)
+        l = np.zeros_like(h)
+        for w in ws[1:]:
+            h, l = _host_dd_add((h, l), np.asarray(w, dtype=np.float64))
+        return h, l
+    hi = np.asarray(ws[0], dtype=np.float64)
+    lo = np.asarray(ws[1], dtype=np.float64).copy()
     for w in ws[2:]:
-        lo = lo + np.asarray(w)
+        lo = lo + np.asarray(w, dtype=np.float64)
     return hi, lo
 
 
@@ -394,9 +423,10 @@ def _warm_start(ds, sdp, state, dualsol: DualSolution, primalsol: PrimalSolution
                 yl[i] *= sk
 
     def pad(ws):
-        """zero-pad a (hi, lo) pair to the device word count (exact embed)."""
-        t = tuple(jnp.asarray(w) for w in ws)
-        return t + tuple(jnp.zeros_like(t[0]) for _ in range(ds.nw - len(t)))
+        """(hi, lo) pair -> device word count/dtype (exact embed)."""
+        from .step import _w
+
+        return _w(tuple(np.asarray(w) for w in ws), ds.nw, ds.dtype)
 
     return {
         "x": [pad(hl) for hl in x],

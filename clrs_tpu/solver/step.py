@@ -36,19 +36,32 @@ from ..dd.core import dd_add, dd_div, dd_mul, dd_mul_f64, dd_neg, dd_sub, to_flo
 __all__ = ["DeviceSDP", "make_step", "make_assess", "initial_state"]
 
 
-def _w(a, nw):
-    """Host multi-word tuple -> device, zero-padded to nw words.
+def _w(a, nw, dtype=jnp.float64):
+    """Host multi-word tuple -> device, zero-padded to nw words of ``dtype``.
 
-    The compiler emits correctly rounded double-word data; padding with zero
-    words embeds it exactly into a wider expansion (the extra precision is
-    needed for the *iteration's* conditioning, not the input representation)."""
+    The compiler emits correctly rounded double-word f64 data. For an f64
+    target, padding with zero words embeds it exactly into a wider
+    expansion. For the f32-expansion substrate (the TPU-sound path), each
+    double-word value is re-decomposed on the host (IEEE f64) into nw
+    non-overlapping f32 words — exact as long as nw >= 5."""
+    if dtype == jnp.float32:
+        from ..dd.core import dd_add_f64 as _host_dd_add
+
+        h = np.asarray(a[0], dtype=np.float64)
+        l = np.asarray(a[1], dtype=np.float64) if len(a) > 1 else np.zeros_like(h)
+        words = []
+        for _ in range(nw):
+            w = (h + l).astype(np.float32)
+            words.append(jnp.asarray(w))
+            h, l = _host_dd_add((h, l), -w.astype(np.float64))
+        return tuple(words)
     ws = tuple(jnp.asarray(c, dtype=jnp.float64) for c in a[:nw])
     return ws + tuple(jnp.zeros_like(ws[0]) for _ in range(nw - len(ws)))
 
 
-def _scalar(v, nw):
-    """Broadcastable nw-word scalar from a traced/static f64 value."""
-    v = jnp.asarray(v, dtype=jnp.float64)
+def _scalar(v, nw, dtype=jnp.float64):
+    """Broadcastable nw-word scalar from a traced/static float value."""
+    v = jnp.asarray(v).astype(dtype)
     return (v,) + (jnp.zeros_like(v),) * (nw - 1)
 
 
@@ -87,6 +100,7 @@ class _DevCluster:
     smask: Any = None       # f64 [Bs]: 1 real, 0 padding
     s_nb: int = 0
     nw: int = 2             # word count of the device expansion arithmetic
+    dtype: Any = None       # working dtype of the expansion words
 
 
 def _col(v):
@@ -102,17 +116,21 @@ def _col0(m):
 class DeviceSDP:
     """Device-resident constants built from a compiled SDP.
 
-    ``nw`` selects the word count of the on-device expansion arithmetic:
-    2 (~106 bits, the fast default) or 4 (~212 bits — the reference's
-    prec=256 regime, ClusteredLowRankSolver.jl src/solver.jl:100-128)."""
+    ``nw``/``dtype`` select the on-device expansion arithmetic:
+    f64 x 2 words (~106 bits, the fast default on IEEE backends), f64 x 4
+    (~212 bits — the reference's prec=256 regime, ClusteredLowRankSolver.jl
+    src/solver.jl:100-128), or f32 x nw (~24*nw bits) — the TPU-sound
+    substrate, since this chip's f64 is an unsound emulation while its f32
+    is exactly IEEE (NOTES_TPU_NUMERICS.md)."""
 
-    def __init__(self, sdp: ClusteredLowRankSDP, nw: int = 2):
+    def __init__(self, sdp: ClusteredLowRankSDP, nw: int = 2, dtype=None):
         self.nw = nw
-        _dd = lambda a: _w(a, nw)  # noqa: E731
+        self.dtype = dtype = dtype or jnp.float64
+        _dd = lambda a: _w(a, nw, dtype)  # noqa: E731
         self.maximize = sdp.maximize
         self.sign = 1.0 if sdp.maximize else -1.0
-        self.constant = _w((jnp.float64(sdp.constant.hi),
-                            jnp.float64(sdp.constant.lo)), nw)
+        self.constant = _w((np.float64(sdp.constant.hi),
+                            np.float64(sdp.constant.lo)), nw, dtype)
         self.b = _dd(sdp.b)
         self.nfree = sdp.nfree
         self.clusters = []
@@ -129,17 +147,19 @@ class DeviceSDP:
                     blocks.append(_DevBlock(
                         kind="lowrank", n=bd.n, C=_dd(bd.C), V=_dd(bd.V),
                         lam=_dd(bd.lam), li=jnp.asarray(bd.li),
-                        ri=jnp.asarray(bd.ri), tmask=jnp.asarray(bd.tmask),
-                        onehotL=jnp.asarray(onehotL), onehotR=jnp.asarray(onehotR)))
+                        ri=jnp.asarray(bd.ri),
+                        tmask=jnp.asarray(bd.tmask).astype(dtype),
+                        onehotL=jnp.asarray(onehotL).astype(dtype),
+                        onehotR=jnp.asarray(onehotR).astype(dtype)))
                 else:
                     blocks.append(_DevBlock(kind="dense", n=bd.n, C=_dd(bd.C),
                                             A=_dd(bd.A)))
             dc = _DevCluster(nrows=cl.nrows, c=_dd(cl.c), B=_dd(cl.B),
-                             blocks=blocks, nw=nw)
+                             blocks=blocks, nw=nw, dtype=dtype)
             if cl.scalars is not None:
                 dc.sa = _dd(cl.scalars.a)
                 dc.sC = _dd(cl.scalars.C)
-                dc.smask = jnp.asarray(cl.scalars.mask)
+                dc.smask = jnp.asarray(cl.scalars.mask).astype(dtype)
                 dc.s_nb = cl.scalars.nblocks
                 dc.s_nreal = cl.scalars.nreal
             self.clusters.append(dc)
@@ -150,15 +170,15 @@ class DeviceSDP:
 
 def initial_state(ds: DeviceSDP, omega_p: float, omega_d: float):
     """x=0, X=omega_p*I, y=0, Y=omega_d*I (solver.jl:186-201)."""
-    nw = ds.nw
-    x = [dl.dd_zeros((cl.nrows,), nw) for cl in ds.clusters]
-    y = dl.dd_zeros((ds.nfree,), nw)
-    X = [[_dd_scale(dl.dd_eye(b.n, nw), omega_p) for b in cl.blocks]
+    nw, dt = ds.nw, ds.dtype
+    x = [dl.dd_zeros((cl.nrows,), nw, dtype=dt) for cl in ds.clusters]
+    y = dl.dd_zeros((ds.nfree,), nw, dtype=dt)
+    X = [[_dd_scale(dl.dd_eye(b.n, nw, dtype=dt), omega_p) for b in cl.blocks]
          for cl in ds.clusters]
-    Y = [[_dd_scale(dl.dd_eye(b.n, nw), omega_d) for b in cl.blocks]
+    Y = [[_dd_scale(dl.dd_eye(b.n, nw, dtype=dt), omega_d) for b in cl.blocks]
          for cl in ds.clusters]
-    Xs = [_scalar(omega_p * jnp.ones(cl.s_nb), nw) for cl in ds.clusters]
-    Ys = [_scalar(omega_d * jnp.ones(cl.s_nb), nw) for cl in ds.clusters]
+    Xs = [_scalar(omega_p * jnp.ones(cl.s_nb), nw, dt) for cl in ds.clusters]
+    Ys = [_scalar(omega_d * jnp.ones(cl.s_nb), nw, dt) for cl in ds.clusters]
     return {"x": x, "y": y, "X": X, "Y": Y, "Xs": Xs, "Ys": Ys}
 
 
@@ -174,7 +194,7 @@ def _panel(b: _DevBlock, M):
 
 def _trace_A_cluster(cl: _DevCluster, Zs, Zsc):
     """[<A_p, Z>]_p for all rows of one cluster (solver.jl:1289-1366)."""
-    tot = dl.dd_zeros((cl.nrows,), cl.nw)
+    tot = dl.dd_zeros((cl.nrows,), cl.nw, dtype=cl.dtype)
     for b, Z in zip(cl.blocks, Zs):
         if b.kind == "lowrank":
             PZ = _panel(b, Z)
@@ -202,7 +222,7 @@ def _weighted_A_cluster(cl: _DevCluster, a):
             w = _dd_scale(w, b.tmask)
             wf = tuple(c.reshape(P * T, 1) for c in w)
             wL = _dd_scale(wf, b.onehotL)
-            D = dl.dd_matmul(dl.dd_array(b.onehotR.T, cl.nw), wL)
+            D = dl.dd_matmul(dl.dd_array(b.onehotR.T, cl.nw, dtype=cl.dtype), wL)
             VD = dl.dd_matmul(b.V, D)
             out.append(dl.dd_matmul(VD, dl.dd_transpose(b.V)))
         else:
@@ -212,14 +232,14 @@ def _weighted_A_cluster(cl: _DevCluster, a):
         r = dl.dd_matmul(cl.sa, _col(a))
         out_s = _col0(r)
     else:
-        out_s = dl.dd_zeros((0,), cl.nw)
+        out_s = dl.dd_zeros((0,), cl.nw, dtype=cl.dtype)
     return out, out_s
 
 
 def _schur_cluster(cl: _DevCluster, Xinvs, Ys, Xinv_s, Y_s):
     """S^j (upper triangle mirrored), solver.jl:1062-1226."""
     P = cl.nrows
-    S = dl.dd_zeros((P, P), cl.nw)
+    S = dl.dd_zeros((P, P), cl.nw, dtype=cl.dtype)
     for b, Xinv, Y in zip(cl.blocks, Xinvs, Ys):
         if b.kind == "lowrank":
             PX = _panel(b, Xinv)
@@ -252,7 +272,7 @@ def _schur_cluster(cl: _DevCluster, Xinvs, Ys, Xinv_s, Y_s):
 
 
 def _dot_state(ds, A, B, keyX="X", keyXs="Xs", keyY="Y", keyYs="Ys"):
-    tot = _scalar(0.0, ds.nw)
+    tot = _scalar(0.0, ds.nw, ds.dtype)
     for j in range(len(ds.clusters)):
         for Xb, Yb in zip(A[keyX][j], B[keyY][j]):
             tot = dd_add(tot, dl.dd_dot(Xb, Yb))
@@ -288,7 +308,7 @@ def _residuals(ds: DeviceSDP, state):
             Ps = dd_sub(dd_sub(wA_s, state["Xs"][j]), _dd_scale(cl.sC, ds.sign))
             Pres_s.append(_dd_scale(Ps, cl.smask))
         else:
-            Pres_s.append(dl.dd_zeros((0,), ds.nw))
+            Pres_s.append(dl.dd_zeros((0,), ds.nw, dtype=ds.dtype))
         By = dl.dd_matmul(cl.B, _col(y))
         d_j = dd_sub(dd_sub(cl.c, _col0(By)),
                      _trace_A_cluster(cl, state["Y"][j], state["Ys"][j]))
@@ -302,11 +322,11 @@ def _residuals(ds: DeviceSDP, state):
 
 def _objectives(ds: DeviceSDP, state):
     x, y = state["x"], state["y"]
-    dot_cx = _scalar(0.0, ds.nw)
+    dot_cx = _scalar(0.0, ds.nw, ds.dtype)
     for j, cl in enumerate(ds.clusters):
         dot_cx = dd_add(dot_cx, dl.dd_dot(cl.c, x[j]))
     d_obj = dd_add(_dd_scale(dot_cx, ds.sign), ds.constant)
-    CY = _scalar(0.0, ds.nw)
+    CY = _scalar(0.0, ds.nw, ds.dtype)
     for j, cl in enumerate(ds.clusters):
         for l, b in enumerate(cl.blocks):
             CY = dd_add(CY, dl.dd_dot(b.C, state["Y"][j][l]))
@@ -345,7 +365,9 @@ def _step_length(ds, state, keyM, keyMs, dM, dMs, gamma, eig_safety):
             ok = ok & okb
             W = dl.dd_solve_tril(L, dMb)
             W2 = dl.dd_solve_tril(L, dl.dd_transpose(W))
-            A64 = to_float(W2)
+            A64 = W2[0].astype(jnp.float64)
+            for c in W2[1:]:
+                A64 = A64 + c.astype(jnp.float64)
             A64 = 0.5 * (A64 + A64.T)
             # float64 eigh like the reference's Float64 Lanczos
             # (solver.jl:1659); f32 on TPU, where f64 lapack is unavailable.
@@ -364,6 +386,9 @@ def _step_length(ds, state, keyM, keyMs, dM, dMs, gamma, eig_safety):
 
 
 def _axpy_state(state, dx, dy, dX, dY, dXs, dYs, alpha_d, alpha_p):
+    dt = state["y"][0].dtype
+    alpha_d = alpha_d.astype(dt)
+    alpha_p = alpha_p.astype(dt)
     x = [dd_add(xj, dd_mul_f64(dxj, alpha_d)) for xj, dxj in zip(state["x"], dx)]
     y = dd_add(state["y"], dd_mul_f64(dy, alpha_p))
     X = [[dd_add(Xb, dd_mul_f64(dXb, alpha_d)) for Xb, dXb in zip(Xc, dXc)]
@@ -385,7 +410,7 @@ def make_assess(ds: DeviceSDP):
         dual_error, primal_error = _errors(Pres, Pres_s, pres, dres)
         d_obj, p_obj, gap = _objectives(ds, state)
         mu_dd = dd_div(_dot_state(ds, state, state),
-                       _scalar(float(ds.total_size), ds.nw))
+                       _scalar(float(ds.total_size), ds.nw, ds.dtype))
         return {
             "dual_error": dual_error,
             "primal_error": primal_error,
@@ -406,6 +431,7 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
 
     K = float(ds.total_size)
     nw = ds.nw
+    dt = ds.dtype
 
     def step(state, pd_feas_prev):
         X, Y, Xs, Ys = state["X"], state["Y"], state["Xs"], state["Ys"]
@@ -414,11 +440,12 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
         ok_S = jnp.bool_(True)
 
         # step 3: mu and mu_p
-        mu = dd_div(_dot_state(ds, state, state), _scalar(K, nw))
+        mu = dd_div(_dot_state(ds, state, state), _scalar(K, nw, dt))
         if correctoronly:
             mu_p = mu
         else:
-            mu_p = dd_mul_f64(mu, jnp.where(pd_feas_prev, 0.0, beta_infeasible))
+            mu_p = dd_mul_f64(
+                mu, jnp.where(pd_feas_prev, 0.0, beta_infeasible).astype(dt))
 
         # chol(X) and X^-1 per block (solver.jl:387-400, 1117-1119)
         Xinv, Xinv_s = [], []
@@ -428,14 +455,14 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
                 L, okb = dl.dd_cholesky(X[j][l])
                 ok = ok & okb
                 ok_X = ok_X & okb
-                inv = dl.dd_solve_cholesky(L, dl.dd_eye(b.n, nw))
+                inv = dl.dd_solve_cholesky(L, dl.dd_eye(b.n, nw, dtype=dt))
                 xi.append(dl.dd_symmetrize(inv))
             Xinv.append(xi)
             if cl.s_nb:
                 ok = ok & jnp.all(Xs[j][0] > 0)
-                Xinv_s.append(dd_div(_scalar(jnp.ones(cl.s_nb), nw), Xs[j]))
+                Xinv_s.append(dd_div(_scalar(jnp.ones(cl.s_nb), nw, dt), Xs[j]))
             else:
-                Xinv_s.append(dl.dd_zeros((0,), nw))
+                Xinv_s.append(dl.dd_zeros((0,), nw, dtype=dt))
 
         # R = mu I - X Y [- dX dY] (solver.jl:961-983)
         def _residual_R(mu_val, corr=None):
@@ -444,20 +471,20 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
                 Rc = []
                 for l, b in enumerate(cl.blocks):
                     XY = dl.dd_matmul(X[j][l], Y[j][l])
-                    Rb = dd_sub(dd_mul(mu_val, dl.dd_eye(b.n, nw)), XY)
+                    Rb = dd_sub(dd_mul(mu_val, dl.dd_eye(b.n, nw, dtype=dt)), XY)
                     if corr is not None:
                         dXdY = dl.dd_matmul(corr[0][j][l], corr[1][j][l])
                         Rb = dd_sub(Rb, dXdY)
                     Rc.append(Rb)
                 Rs.append(Rc)
                 if cl.s_nb:
-                    Rb = dd_sub(dd_mul(mu_val, _scalar(jnp.ones(cl.s_nb), nw)),
+                    Rb = dd_sub(dd_mul(mu_val, _scalar(jnp.ones(cl.s_nb), nw, dt)),
                                 dd_mul(Xs[j], Ys[j]))
                     if corr is not None:
                         Rb = dd_sub(Rb, dd_mul(corr[2][j], corr[3][j]))
                     Rs_s.append(_dd_scale(Rb, cl.smask))
                 else:
-                    Rs_s.append(dl.dd_zeros((0,), nw))
+                    Rs_s.append(dl.dd_zeros((0,), nw, dtype=dt))
             return Rs, Rs_s
 
         R, R_s = _residual_R(mu_p)
@@ -472,7 +499,7 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
             LinvB = dl.dd_solve_tril(L, cl.B)
             cholSs.append(L)
             LinvBs.append(LinvB)
-        Q = dl.dd_zeros((ds.nfree, ds.nfree), nw)
+        Q = dl.dd_zeros((ds.nfree, ds.nfree), nw, dtype=dt)
         for LinvB in LinvBs:
             Q = dd_add(Q, dl.dd_matmul(dl.dd_transpose(LinvB), LinvB))
         cholQ, okq = dl.dd_cholesky(Q)
@@ -498,7 +525,7 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
                     Zs_s.append(dd_mul(Xinv_s[j],
                                        dd_sub(dd_mul(Pres_s[j], Ys[j]), Rcur_s[j])))
                 else:
-                    Zs_s.append(dl.dd_zeros((0,), nw))
+                    Zs_s.append(dl.dd_zeros((0,), nw, dtype=dt))
             # rhs_x = -d - <A_*, Z>  (solver.jl:1519-1525)
             rhs_x = []
             for j, cl in enumerate(ds.clusters):
@@ -527,7 +554,7 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
                 wA, wA_s = _weighted_A_cluster(cl, dx[j])
                 dX.append([dd_add(w, Pb) for w, Pb in zip(wA, Pres[j])])
                 dXs.append(dd_add(wA_s, Pres_s[j]) if cl.s_nb
-                           else dl.dd_zeros((0,), nw))
+                           else dl.dd_zeros((0,), nw, dtype=dt))
             # dY = X^-1 (R - dX Y), symmetrized (solver.jl:1597-1613)
             dY, dYs = [], []
             for j, cl in enumerate(ds.clusters):
@@ -541,7 +568,7 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
                     dYs.append(dd_mul(Xinv_s[j],
                                       dd_sub(Rcur_s[j], dd_mul(dXs[j], Ys[j]))))
                 else:
-                    dYs.append(dl.dd_zeros((0,), nw))
+                    dYs.append(dl.dd_zeros((0,), nw, dtype=dt))
             return dx, dy, dX, dY, dXs, dYs
 
         # predictor (solver.jl:420-425)
@@ -557,7 +584,7 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
         beta_c = jnp.where(pd_feas_now,
                            jnp.minimum(jnp.maximum(beta_feasible, beta), 1.0),
                            jnp.maximum(beta_infeasible, beta))
-        mu_c = dd_mul_f64(mu, beta_c)
+        mu_c = dd_mul_f64(mu, beta_c.astype(dt))
 
         # corrector direction (solver.jl:438-456)
         Rc, Rc_s = _residual_R(mu_c, corr=(dX, dY, dXs, dYs))
