@@ -167,15 +167,35 @@ def _renorm_scan(cs, nw, sweeps, presort=False):
     return tuple(out)
 
 
+# Unrolled-vs-scan policy: on TPU every lax-loop iteration costs
+# microseconds of control overhead, so nested renorm scans dominated the
+# Cholesky/trisolve phases — unroll small renorms there. On CPU the
+# unrolled form runs much SLOWER (measured 25x on dd_cholesky: the barrier
+# soup defeats LLVM vectorization), so keep the scan form.
+_UNROLL_MAX_OPS = 80
+
+
+def _unroll_renorms():
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def _renorm(cs, nw, sweeps=3, presort=False):
     """Compress an expansion (list, roughly decreasing) to nw words.
 
     ``presort=True`` sorts words by magnitude first — needed when the input
     order can be far from decreasing (adding operands of very different
     magnitudes); see :func:`_presort_stack`."""
-    if len(cs) > nw and any(_is_jax(c) for c in cs):
+    if (len(cs) > nw and any(_is_jax(c) for c in cs)
+            and (len(cs) * sweeps > _UNROLL_MAX_OPS or not _unroll_renorms())):
         return _renorm_scan(cs, nw, sweeps, presort=presort)
-    if presort:
+    if presort and any(_is_jax(c) for c in cs):
+        import jax.numpy as jnp
+
+        W = jnp.stack(jnp.broadcast_arrays(*cs))
+        cs = list(_presort_stack(W, jnp))
+    elif presort:
         W = np.stack(np.broadcast_arrays(*[np.asarray(c, dtype=np.float64)
                                            for c in cs]))
         cs = list(_presort_stack(W, np))

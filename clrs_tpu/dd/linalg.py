@@ -40,6 +40,8 @@ from .core import (
 
 __all__ = [
     "dd_array",
+    "dd_array_b",
+    "dd_transpose_b",
     "dd_zeros",
     "dd_eye",
     "dd_transpose",
@@ -83,7 +85,17 @@ def dd_eye(n, nw=2, dtype=None):
 
 
 def dd_transpose(x):
-    return cmap(lambda c: c.T, x)
+    """Transpose the last two axes (batched-safe)."""
+    return cmap(lambda c: jnp.swapaxes(c, -1, -2), x)
+
+
+# alias: batched transpose over a leading class axis is the same operation
+dd_transpose_b = dd_transpose
+
+
+def dd_array_b(a, nw=2, dtype=None):
+    """Batched constant array -> multi-word value (exact embed)."""
+    return dd_array(a, nw, dtype=dtype)
 
 
 def dd_sum(x, axis):

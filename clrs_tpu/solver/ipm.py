@@ -119,8 +119,8 @@ def solvesdp(problem, *, prec=None, maxiterations=500,
 
     if verbose:
         print(f"{'iter':>5} {'time(s)':>8} {'mu':>11} {'D-obj':>11} "
-              f"{'P-obj':>11} {'gap':>10} {'D-error':>10} {'d-error':>10} "
-              f"{'p-error':>10} {'a_d':>10} {'a_p':>10} {'beta':>10}")
+              f"{'P-obj':>11} {'gap':>10} {'P-error':>10} {'p-error':>10} "
+              f"{'d-error':>10} {'a_d':>10} {'a_p':>10} {'beta':>10}")
 
     error_code = 0
     it = 1
@@ -188,8 +188,8 @@ def solvesdp(problem, *, prec=None, maxiterations=500,
 
         if verbose:
             print(f"{it:5d} {_time.time()-t0:8.1f} {mu:11.3e} {d_obj:11.3e} "
-                  f"{p_obj:11.3e} {dual_gap:10.2e} {dual_error:10.2e} "
-                  f"{dual_error:10.2e} {primal_error:10.2e} "
+                  f"{p_obj:11.3e} {dual_gap:10.2e} {info['P_error']:10.2e} "
+                  f"{info['p_error']:10.2e} {primal_error:10.2e} "
                   f"{info['alpha_d']:10.2e} {info['alpha_p']:10.2e} "
                   f"{info['beta_c']:10.2e}")
 
@@ -230,14 +230,14 @@ def solvesdp(problem, *, prec=None, maxiterations=500,
         print(f"Dual objective: {d_obj}")
         print(f"duality gap: {dual_gap}")
     if testing and step_times:
-        # timing breakdown in the spirit of the reference's `testing=true`
-        # phase table (solver.jl:664-718); with one fused jitted iteration
-        # the per-phase split lives inside XLA, so we report compile vs
-        # steady-state iteration cost instead.
+        # the reference's `testing=true` phase table (solver.jl:664-718):
+        # compile vs steady-state, then separately jitted per-phase timings
         rest = step_times[1:] or step_times
         print(f"timing: total {solve_time:.2f}s over {len(step_times)} "
               f"iterations; first call (incl. compile) {step_times[0]:.2f}s; "
               f"steady-state {1e3 * sum(rest) / len(rest):.2f} ms/iter")
+        from .timing import print_breakdown
+        print_breakdown(ds, state)
 
     if pd_feas and dual_gap < duality_gap_threshold:
         status = Optimal()
@@ -320,8 +320,12 @@ def _extract(ds, sdp: ClusteredLowRankSDP, state, post=None):
                 matrixvars_dual[key] = _dd_scalar_array(
                     Xsh[bidx:bidx + 1, None], Xsl[bidx:bidx + 1, None])
         for l, bd in enumerate(cl.blocks):
-            Yh, Yl = _two(state["Y"][j][l])
-            Xh, Xl = _two(state["X"][j][l])
+            ki, slot = ds.clusters[j].layout[l]
+            n_real = bd.n
+            Yh, Yl = _two(tuple(c[slot, :n_real, :n_real]
+                                for c in state["Y"][j][ki]))
+            Xh, Xl = _two(tuple(c[slot, :n_real, :n_real]
+                                for c in state["X"][j][ki]))
             use_block, nsub = sdp.matrix_coeff_blocks[j][l]
             delta = bd.delta
             for r in range(nsub):
@@ -379,19 +383,44 @@ def _warm_start(ds, sdp, state, dualsol: DualSolution, primalsol: PrimalSolution
                         h, l2 = to_dd(sub[a, bcol])
                         hi[r * delta + a, s * delta + bcol] = h
                         lo[r * delta + a, s * delta + bcol] = l2
-        return (jnp.asarray(hi), jnp.asarray(lo))
+        return (hi, lo)
+
+    def pad(ws):
+        """(hi, lo) pair -> device word count/dtype (exact embed)."""
+        from .step import _w
+
+        return _w(tuple(np.asarray(w) for w in ws), ds.nw, ds.dtype)
+
+    def pack_classes(j, cl, per_block):
+        """Per-original-block (hi, lo) pairs -> class-batched padded device
+        words; padded diagonal pinned at 1 (the inert-padding invariant)."""
+        out = []
+        for k in ds.clusters[j].classes:
+            Ls = []
+            for slot, (l, n_real) in enumerate(k.members):
+                hi, lo = per_block[l]
+                hi_p = np.zeros((k.n, k.n))
+                lo_p = np.zeros((k.n, k.n))
+                hi_p[:n_real, :n_real] = hi
+                lo_p[:n_real, :n_real] = lo
+                for a in range(n_real, k.n):
+                    hi_p[a, a] = 1.0
+                Ls.append((hi_p, lo_p))
+            out.append(pad((np.stack([h for h, _ in Ls]),
+                            np.stack([l2 for _, l2 in Ls]))))
+        return out
 
     X = []
     Y = []
     Xs = []
     Ys = []
     for j, cl in enumerate(sdp.clusters):
-        Xc, Yc = [], []
+        Xb, Yb = {}, {}
         for l, bd in enumerate(cl.blocks):
-            Xc.append(read_block(dualsol.matrixvars, j, l, bd))
-            Yc.append(read_block(primalsol.matrixvars, j, l, bd))
-        X.append(Xc)
-        Y.append(Yc)
+            Xb[l] = read_block(dualsol.matrixvars, j, l, bd)
+            Yb[l] = read_block(primalsol.matrixvars, j, l, bd)
+        X.append(pack_classes(j, cl, Xb))
+        Y.append(pack_classes(j, cl, Yb))
         nb = cl.scalars.nblocks if cl.scalars is not None else 0
         # padding entries stay at 1 (they are untouched identity blocks)
         xsh = np.ones(nb)
@@ -422,17 +451,11 @@ def _warm_start(ds, sdp, state, dualsol: DualSolution, primalsol: PrimalSolution
                 yh[i] *= sk
                 yl[i] *= sk
 
-    def pad(ws):
-        """(hi, lo) pair -> device word count/dtype (exact embed)."""
-        from .step import _w
-
-        return _w(tuple(np.asarray(w) for w in ws), ds.nw, ds.dtype)
-
     return {
         "x": [pad(hl) for hl in x],
         "y": pad((yh, yl)),
-        "X": [[pad(blk) for blk in cl] for cl in X],
-        "Y": [[pad(blk) for blk in cl] for cl in Y],
+        "X": X,
+        "Y": Y,
         "Xs": [pad(p) for p in Xs],
         "Ys": [pad(p) for p in Ys],
     }

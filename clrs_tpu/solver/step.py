@@ -10,12 +10,25 @@ main loop of `ClusteredLowRankSolver.jl/src/solver.jl:348-593`:
   corrector direction -> step lengths (solver.jl:1618-1693) -> update.
 
 TPU-first design notes:
+- PSD blocks are grouped into SIZE CLASSES per cluster (the reference's
+  ragged `BlockDiagonal` becomes padded dense batches, SURVEY.md section
+  7.1): every per-block kernel (Cholesky, panels, Schur gathers, residuals,
+  updates, step lengths) runs ONCE per class as a batched kernel over the
+  [L, n, n] leading axis instead of once per block. This is what keeps the
+  traced graph small (compile time) and the device busy (few large kernels
+  instead of hundreds of tiny sequential ones), and the class axis is the
+  natural intra-cluster sharding axis. Padding is inert by construction:
+  padded diagonal entries of X/Y are pinned at 1 (dX/dY vanish there
+  because the P and R residuals are masked), padded rows of V / padded
+  lambda terms are zero, and every trace reduction applies the real-area
+  mask.
 - 1x1 dense blocks are batched into a per-cluster "scalar pack" so all of
   their per-block work becomes one vector subgraph (LP-cone specialization;
   the reference loops over them as ordinary Arb matrices).
 - Low-rank constraint structure drives batched gather/einsum Schur assembly
   via the static term tables produced by the compiler.
-- Everything is double-word float64; scalars for termination control are
+- All values are multi-word expansions (f64 words on IEEE backends, f32
+  words on TPU — see dd/core.py); scalars for termination control are
   returned to the host. Failures (non-PSD Cholesky) surface as boolean
   flags; the host maps them onto the reference's SolverFailure semantics.
 """
@@ -23,7 +36,7 @@ TPU-first design notes:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List
+from typing import Any, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -70,23 +83,40 @@ def dd_take(m, *idx):
 
 
 def _dd_scale(x, a):
-    """multiply a multi-word array by an exact {0,1}/power-of-two f64 array."""
+    """multiply a multi-word array by an exact {0,1}/power-of-two array."""
     return tuple(c * a for c in x)
 
 
+# batched linalg kernels: one instance per size class, vmapped over the
+# leading [L] block axis (the reference's per-(j,l) threaded loops,
+# src/threadinginfo.jl:59-102)
+_bchol = jax.vmap(dl.dd_cholesky)
+_bmm = jax.vmap(dl.dd_matmul)
+_bsolve_tril = jax.vmap(dl.dd_solve_tril)
+_bsolve_cholesky = jax.vmap(dl.dd_solve_cholesky)
+
+
 @dataclasses.dataclass
-class _DevBlock:
-    kind: str
-    n: int
-    C: Any
-    V: Any = None
-    lam: Any = None
-    li: Any = None
-    ri: Any = None
-    tmask: Any = None
-    onehotL: Any = None     # f64 [P*T, m]
-    onehotR: Any = None     # f64 [P*T, m]
-    A: Any = None           # dd [P, n, n]
+class _DevClass:
+    """A batch of same-size-class PSD blocks of one cluster."""
+
+    kind: str                    # 'lowrank' | 'dense'
+    L: int                       # batch size
+    n: int                       # padded block size
+    members: List[Tuple[int, int]]   # [(original block index, real n)]
+    C: Any                       # dd [L, n, n]
+    maskd: Any = None            # dtype [L, n, n]: 1 on the real area
+    maskdiag: Any = None         # dtype [L, n]: 1 on real diagonal entries
+    # low-rank data (padded to the class [m, T])
+    V: Any = None                # dd [L, n, m]
+    lam: Any = None              # dd [L, P, T]
+    li: Any = None               # int32 [L, P, T]
+    ri: Any = None               # int32 [L, P, T]
+    tmask: Any = None            # dtype [L, P, T]
+    Ul: Any = None               # dd [L, P*T, n]: tmask * V[:, li].T
+    Ur: Any = None               # dd [L, P*T, n]: tmask * V[:, ri].T
+    # dense data
+    A: Any = None                # dd [L, P, n, n]
 
 
 @dataclasses.dataclass
@@ -94,13 +124,15 @@ class _DevCluster:
     nrows: int
     c: Any
     B: Any
-    blocks: List[_DevBlock]
-    sa: Any = None          # dd [Bs, P] scalar-pack coefficients
-    sC: Any = None          # dd [Bs]
-    smask: Any = None       # f64 [Bs]: 1 real, 0 padding
+    classes: List[_DevClass]
+    sa: Any = None               # dd [Bs, P] scalar-pack coefficients
+    sC: Any = None               # dd [Bs]
+    smask: Any = None            # dtype [Bs]: 1 real, 0 padding
     s_nb: int = 0
-    nw: int = 2             # word count of the device expansion arithmetic
-    dtype: Any = None       # working dtype of the expansion words
+    s_nreal: int = 0
+    nw: int = 2                  # word count of the device expansion words
+    dtype: Any = None            # working dtype of the expansion words
+    layout: List[Tuple[int, int]] = None  # original block l -> (class, slot)
 
 
 def _col(v):
@@ -111,6 +143,30 @@ def _col(v):
 def _col0(m):
     """nw-word single-column matrix -> vector."""
     return tuple(c[:, 0] for c in m)
+
+
+def _group_lowrank(blocks):
+    """Greedy size-classing: sort by n descending, open a new class when the
+    next block is below 70% of the class's padded size (bounds the padding
+    waste at ~3x FLOPs worst case while batching near-equal sizes)."""
+    order = sorted(blocks, key=lambda t: -t[1].n)
+    classes = []
+    for l, bd in order:
+        if classes and bd.n >= 0.7 * classes[-1][0][1].n:
+            classes[-1].append((l, bd))
+        else:
+            classes.append([(l, bd)])
+    return classes
+
+
+def _pad2(arr, shape):
+    out = np.zeros(shape, dtype=arr.dtype)
+    out[tuple(slice(0, s) for s in arr.shape)] = arr
+    return out
+
+
+def _pad_dd(ws, shape):
+    return tuple(_pad2(np.asarray(c), shape) for c in ws)
 
 
 class DeviceSDP:
@@ -135,27 +191,90 @@ class DeviceSDP:
         self.nfree = sdp.nfree
         self.clusters = []
         for cl in sdp.clusters:
-            blocks = []
-            for bd in cl.blocks:
-                if bd.kind == "lowrank":
-                    P, T = bd.li.shape
-                    m = bd.V[0].shape[1]
-                    onehotL = np.zeros((P * T, m))
-                    onehotR = np.zeros((P * T, m))
-                    onehotL[np.arange(P * T), bd.li.reshape(-1)] = bd.tmask.reshape(-1)
-                    onehotR[np.arange(P * T), bd.ri.reshape(-1)] = bd.tmask.reshape(-1)
-                    blocks.append(_DevBlock(
-                        kind="lowrank", n=bd.n, C=_dd(bd.C), V=_dd(bd.V),
-                        lam=_dd(bd.lam), li=jnp.asarray(bd.li),
-                        ri=jnp.asarray(bd.ri),
-                        tmask=jnp.asarray(bd.tmask).astype(dtype),
-                        onehotL=jnp.asarray(onehotL).astype(dtype),
-                        onehotR=jnp.asarray(onehotR).astype(dtype)))
-                else:
-                    blocks.append(_DevBlock(kind="dense", n=bd.n, C=_dd(bd.C),
-                                            A=_dd(bd.A)))
-            dc = _DevCluster(nrows=cl.nrows, c=_dd(cl.c), B=_dd(cl.B),
-                             blocks=blocks, nw=nw, dtype=dtype)
+            P = cl.nrows
+            lowrank = [(l, bd) for l, bd in enumerate(cl.blocks)
+                       if bd.kind == "lowrank"]
+            dense = [(l, bd) for l, bd in enumerate(cl.blocks)
+                     if bd.kind != "lowrank"]
+            layout = [None] * len(cl.blocks)
+            classes = []
+
+            for group in _group_lowrank(lowrank):
+                Lb = len(group)
+                n = max(bd.n for _, bd in group)
+                m = max(bd.V[0].shape[1] for _, bd in group)
+                T = max(bd.li.shape[1] for _, bd in group)
+                C = np.zeros((0,))
+                Cs, Vs, lams, lis, ris, tms = [], [], [], [], [], []
+                maskd = np.zeros((Lb, n, n))
+                maskdiag = np.zeros((Lb, n))
+                members = []
+                for i, (l, bd) in enumerate(group):
+                    layout[l] = (len(classes), i)
+                    members.append((l, bd.n))
+                    Cs.append(_pad_dd(bd.C, (n, n)))
+                    Vs.append(_pad_dd(bd.V, (n, m)))
+                    lams.append(_pad_dd(bd.lam, (P, T)))
+                    lis.append(_pad2(np.asarray(bd.li), (P, T)))
+                    ris.append(_pad2(np.asarray(bd.ri), (P, T)))
+                    tms.append(_pad2(np.asarray(bd.tmask), (P, T)))
+                    maskd[i, :bd.n, :bd.n] = 1.0
+                    maskdiag[i, :bd.n] = 1.0
+                stack = lambda ws: tuple(np.stack([w[k] for w in ws])
+                                         for k in range(len(ws[0])))
+                li = np.stack(lis).astype(np.int32)
+                ri = np.stack(ris).astype(np.int32)
+                tm = np.stack(tms)
+                # gathered term columns Ul[i, p*T+t, :] = tmask * V[:, li]
+                # (precomputed so sum_pt w_pt v_li v_ri^T becomes ONE GEMM
+                # per class instead of onehot-matrix products)
+                Vst = stack(Vs)
+                Ul = []
+                Ur = []
+                for wword in Vst:
+                    wl = np.zeros((Lb, P * T, n))
+                    wr = np.zeros((Lb, P * T, n))
+                    for i in range(Lb):
+                        wl[i] = wword[i].T[li[i].reshape(-1)] * \
+                            tm[i].reshape(-1)[:, None]
+                        wr[i] = wword[i].T[ri[i].reshape(-1)] * \
+                            tm[i].reshape(-1)[:, None]
+                    Ul.append(wl)
+                    Ur.append(wr)
+                classes.append(_DevClass(
+                    kind="lowrank", L=Lb, n=n, members=members,
+                    C=_dd(stack(Cs)), V=_dd(stack(Vs)), lam=_dd(stack(lams)),
+                    li=jnp.asarray(li), ri=jnp.asarray(ri),
+                    tmask=jnp.asarray(tm).astype(dtype),
+                    Ul=_dd(tuple(Ul)), Ur=_dd(tuple(Ur)),
+                    maskd=jnp.asarray(maskd).astype(dtype),
+                    maskdiag=jnp.asarray(maskdiag).astype(dtype)))
+
+            # dense blocks: batch by identical size (no padding)
+            bysize = {}
+            for l, bd in dense:
+                bysize.setdefault(bd.n, []).append((l, bd))
+            for n, group in sorted(bysize.items()):
+                Lb = len(group)
+                members = []
+                Cs, As = [], []
+                for i, (l, bd) in enumerate(group):
+                    layout[l] = (len(classes), i)
+                    members.append((l, n))
+                    Cs.append(bd.C)
+                    As.append(bd.A)
+                stack = lambda ws: tuple(np.stack([np.asarray(w[k]) for w in ws])
+                                         for k in range(len(ws[0])))
+                ones = np.ones((Lb, n, n))
+                classes.append(_DevClass(
+                    kind="dense", L=Lb, n=n, members=members,
+                    C=_dd(stack(Cs)), A=_dd(stack(As)),
+                    maskd=jnp.asarray(ones).astype(dtype),
+                    maskdiag=jnp.asarray(np.ones((Lb, n))).astype(dtype)))
+
+            dc = _DevCluster(nrows=P, c=_dd(cl.c), B=_dd(cl.B),
+                             classes=classes, nw=nw, dtype=dtype,
+                             layout=layout)
             if cl.scalars is not None:
                 dc.sa = _dd(cl.scalars.a)
                 dc.sC = _dd(cl.scalars.C)
@@ -163,48 +282,66 @@ class DeviceSDP:
                 dc.s_nb = cl.scalars.nblocks
                 dc.s_nreal = cl.scalars.nreal
             self.clusters.append(dc)
-        self.total_size = sum(b.n for cl in self.clusters for b in cl.blocks) \
-            + sum(getattr(cl, 's_nreal', 0) or 0 for cl in self.clusters)
+        self.total_size = sum(rn for cl in self.clusters for k in cl.classes
+                              for _, rn in k.members) \
+            + sum(cl.s_nreal for cl in self.clusters)
         self.total_rows = sum(cl.nrows for cl in self.clusters)
 
 
 def initial_state(ds: DeviceSDP, omega_p: float, omega_d: float):
-    """x=0, X=omega_p*I, y=0, Y=omega_d*I (solver.jl:186-201)."""
+    """x=0, X=omega_p*I, y=0, Y=omega_d*I (solver.jl:186-201); padded
+    diagonal entries are pinned at 1 (inert, see module docstring)."""
     nw, dt = ds.nw, ds.dtype
+
+    def eyes(k, omega):
+        dv = omega * k.maskdiag + (1.0 - k.maskdiag)         # [L, n]
+        w0 = jnp.eye(k.n, dtype=dt) * dv[:, None, :]
+        return (w0,) + tuple(jnp.zeros_like(w0) for _ in range(nw - 1))
+
     x = [dl.dd_zeros((cl.nrows,), nw, dtype=dt) for cl in ds.clusters]
     y = dl.dd_zeros((ds.nfree,), nw, dtype=dt)
-    X = [[_dd_scale(dl.dd_eye(b.n, nw, dtype=dt), omega_p) for b in cl.blocks]
-         for cl in ds.clusters]
-    Y = [[_dd_scale(dl.dd_eye(b.n, nw, dtype=dt), omega_d) for b in cl.blocks]
-         for cl in ds.clusters]
+    X = [[eyes(k, omega_p) for k in cl.classes] for cl in ds.clusters]
+    Y = [[eyes(k, omega_d) for k in cl.classes] for cl in ds.clusters]
     Xs = [_scalar(omega_p * jnp.ones(cl.s_nb), nw, dt) for cl in ds.clusters]
     Ys = [_scalar(omega_d * jnp.ones(cl.s_nb), nw, dt) for cl in ds.clusters]
     return {"x": x, "y": y, "X": X, "Y": Y, "Xs": Xs, "Ys": Ys}
 
 
 # ---------------------------------------------------------------------------
-# core operators
+# core operators (all batched over the class [L] axis)
 # ---------------------------------------------------------------------------
 
-def _panel(b: _DevBlock, M):
-    """V^T M V for a low-rank block (the bilinear pairing panel)."""
-    MV = dl.dd_matmul(M, b.V)
-    return dl.dd_matmul(dl.dd_transpose(b.V), MV)
+def _panel_b(k: _DevClass, Mb):
+    """V^T M V for a class batch (the bilinear pairing panels)."""
+    MV = _bmm(Mb, k.V)
+    return _bmm(dl.dd_transpose_b(k.V), MV)
+
+
+def _gather_b(PM, li, ri):
+    """PM[l, li[l,p,t], ri[l,p,t]] -> dd [L, P, T]."""
+    L = li.shape[0]
+    lidx = jnp.arange(L)[:, None, None]
+    return tuple(c[lidx, li, ri] for c in PM)
 
 
 def _trace_A_cluster(cl: _DevCluster, Zs, Zsc):
     """[<A_p, Z>]_p for all rows of one cluster (solver.jl:1289-1366)."""
     tot = dl.dd_zeros((cl.nrows,), cl.nw, dtype=cl.dtype)
-    for b, Z in zip(cl.blocks, Zs):
-        if b.kind == "lowrank":
-            PZ = _panel(b, Z)
-            g = dd_take(PZ, b.li, b.ri)          # dd [P, T]
-            v = dd_mul(b.lam, g)
-            v = _dd_scale(v, b.tmask)
-            tot = dd_add(tot, dl.dd_sum(v, axis=1))
+    for k, Z in zip(cl.classes, Zs):
+        if k.kind == "lowrank":
+            PZ = _panel_b(k, Z)                       # [L, m, m]
+            g = _gather_b(PZ, k.li, k.ri)             # [L, P, T]
+            v = dd_mul(k.lam, g)
+            v = _dd_scale(v, k.tmask)
+            s = dl.dd_sum(tuple(c.reshape(-1, cl.nrows)
+                                for c in dl.cmap(
+                                    lambda c: jnp.moveaxis(c, 1, 2), v)),
+                          axis=0)
+            tot = dd_add(tot, s)
         else:
-            prod = dd_mul(b.A, tuple(c[None] for c in Z))
-            flat = tuple(c.reshape(cl.nrows, -1) for c in prod)
+            prod = dd_mul(k.A, tuple(c[:, None] for c in Z))   # [L, P, n, n]
+            flat = tuple(jnp.moveaxis(c, 1, 0).reshape(cl.nrows, -1)
+                         for c in prod)
             tot = dd_add(tot, dl.dd_sum(flat, axis=1))
     if cl.s_nb:
         r = dl.dd_matmul(tuple(c[None, :] for c in Zsc), cl.sa)
@@ -213,21 +350,20 @@ def _trace_A_cluster(cl: _DevCluster, Zs, Zsc):
 
 
 def _weighted_A_cluster(cl: _DevCluster, a):
-    """sum_p a_p A_p per block + scalar pack (solver.jl:1409-1470)."""
+    """sum_p a_p A_p per class + scalar pack (solver.jl:1409-1470)."""
     out = []
-    for b in cl.blocks:
-        if b.kind == "lowrank":
-            P, T = b.li.shape
-            w = dd_mul(b.lam, _col(a))
-            w = _dd_scale(w, b.tmask)
-            wf = tuple(c.reshape(P * T, 1) for c in w)
-            wL = _dd_scale(wf, b.onehotL)
-            D = dl.dd_matmul(dl.dd_array(b.onehotR.T, cl.nw, dtype=cl.dtype), wL)
-            VD = dl.dd_matmul(b.V, D)
-            out.append(dl.dd_matmul(VD, dl.dd_transpose(b.V)))
+    for k in cl.classes:
+        if k.kind == "lowrank":
+            L, P, T = k.li.shape
+            w = dd_mul(k.lam, tuple(c[None, :, None] for c in a))
+            w = _dd_scale(w, k.tmask)
+            wf = tuple(c.reshape(L, P * T, 1) for c in w)
+            # sum_pt w_pt v_li v_ri^T = (Ul o w)^T @ Ur: one GEMM per class
+            wUl = dd_mul(wf, k.Ul)                              # [L, P*T, n]
+            out.append(_bmm(dl.dd_transpose_b(wUl), k.Ur))      # [L, n, n]
         else:
-            prod = dd_mul(b.A, tuple(c[:, None, None] for c in a))
-            out.append(dl.dd_sum(prod, axis=0))
+            prod = dd_mul(k.A, tuple(c[None, :, None, None] for c in a))
+            out.append(dl.dd_sum(prod, axis=1))                 # [L, n, n]
     if cl.s_nb:
         r = dl.dd_matmul(cl.sa, _col(a))
         out_s = _col0(r)
@@ -240,45 +376,59 @@ def _schur_cluster(cl: _DevCluster, Xinvs, Ys, Xinv_s, Y_s):
     """S^j (upper triangle mirrored), solver.jl:1062-1226."""
     P = cl.nrows
     S = dl.dd_zeros((P, P), cl.nw, dtype=cl.dtype)
-    for b, Xinv, Y in zip(cl.blocks, Xinvs, Ys):
-        if b.kind == "lowrank":
-            PX = _panel(b, Xinv)
-            PY = _panel(b, Y)
-            # S_pq += sum_{t1,t2} lam[p,t1] lam[q,t2] PX[li[p,t1], ri[q,t2]]
-            #                                        * PY[li[q,t2], ri[p,t1]]
-            gx = dd_take(PX, b.li[:, :, None, None], b.ri[None, None, :, :])
-            gy = dd_take(PY, b.li[None, None, :, :], b.ri[:, :, None, None])
-            lam1 = tuple(c[:, :, None, None] for c in b.lam)
-            lam2 = tuple(c[None, None, :, :] for c in b.lam)
+    for k, Xinv, Y in zip(cl.classes, Xinvs, Ys):
+        if k.kind == "lowrank":
+            PX = _panel_b(k, Xinv)                    # [L, m, m]
+            PY = _panel_b(k, Y)
+            # S_pq += sum_{l,t1,t2} lam[l,p,t1] lam[l,q,t2]
+            #         * PX[l, li[l,p,t1], ri[l,q,t2]]
+            #         * PY[l, li[l,q,t2], ri[l,p,t1]]
+            L = k.L
+            lidx = jnp.arange(L)[:, None, None, None, None]
+            li1 = k.li[:, :, :, None, None]           # [L,P,T,1,1]
+            ri2 = k.ri[:, None, None, :, :]           # [L,1,1,P,T]
+            li2 = k.li[:, None, None, :, :]
+            ri1 = k.ri[:, :, :, None, None]
+            gx = tuple(c[lidx, li1, ri2] for c in PX)  # [L,P,T,P,T]
+            gy = tuple(c[lidx, li2, ri1] for c in PY)
+            lam1 = tuple(c[:, :, :, None, None] for c in k.lam)
+            lam2 = tuple(c[:, None, None, :, :] for c in k.lam)
             v = dd_mul(dd_mul(lam1, lam2), dd_mul(gx, gy))
-            mask = b.tmask[:, :, None, None] * b.tmask[None, None, :, :]
+            mask = k.tmask[:, :, :, None, None] * k.tmask[:, None, None, :, :]
             v = _dd_scale(v, mask)
-            contrib = dl.dd_sum(dl.dd_sum(v, axis=3), axis=1)
+            # sum over t2, t1, then the class batch
+            contrib = dl.dd_sum(dl.dd_sum(dl.dd_sum(v, axis=4), axis=2),
+                                axis=0)
             S = dd_add(S, contrib)
         else:
-            XA = jax.vmap(lambda Ai: dl.dd_matmul(Xinv, Ai))(b.A)
-            XAY = jax.vmap(lambda Mi: dl.dd_matmul(Mi, Y))(XA)
-            prod = dd_mul(tuple(c[:, None] for c in b.A),
-                          tuple(c[None] for c in XAY))
-            flat = tuple(c.reshape(P, P, -1) for c in prod)
-            S = dd_add(S, dl.dd_sum(flat, axis=2))
+            LP = k.L * P
+            Af = tuple(c.reshape(LP, k.n, k.n) for c in k.A)
+            Xr = tuple(jnp.repeat(c, P, axis=0) for c in Xinv)
+            Yr = tuple(jnp.repeat(c, P, axis=0) for c in Y)
+            XA = _bmm(Xr, Af)
+            XAY = _bmm(XA, Yr)
+            XAYb = tuple(c.reshape(k.L, P, k.n, k.n) for c in XAY)
+            prod = dd_mul(tuple(c[:, :, None] for c in k.A),
+                          tuple(c[:, None] for c in XAYb))      # [L,P,P,n,n]
+            flat = tuple(c.reshape(k.L, P, P, -1) for c in prod)
+            S = dd_add(S, dl.dd_sum(dl.dd_sum(flat, axis=3), axis=0))
     if cl.s_nb:
         w = dd_mul(Xinv_s, Y_s)                      # [Bs]
         t = dd_mul(cl.sa, _col(w))
         S = dd_add(S, dl.dd_matmul(dl.dd_transpose(cl.sa), t))
     # keep the upper triangle, mirror it (reference: symmetric!(S), q>=p only)
     iu = jnp.triu(jnp.ones((P, P), dtype=bool))
-    return tuple(jnp.where(iu, c, c.T) for c in S)
+    return tuple(jnp.where(iu, c, jnp.swapaxes(c, -1, -2)) for c in S)
 
 
 def _dot_state(ds, A, B, keyX="X", keyXs="Xs", keyY="Y", keyYs="Ys"):
     tot = _scalar(0.0, ds.nw, ds.dtype)
-    for j in range(len(ds.clusters)):
-        for Xb, Yb in zip(A[keyX][j], B[keyY][j]):
-            tot = dd_add(tot, dl.dd_dot(Xb, Yb))
-        if ds.clusters[j].s_nb:
+    for j, cl in enumerate(ds.clusters):
+        for k, Xb, Yb in zip(cl.classes, A[keyX][j], B[keyY][j]):
+            tot = dd_add(tot, dl.dd_dot(_dd_scale(Xb, k.maskd), Yb))
+        if cl.s_nb:
             tot = dd_add(tot, dl.dd_dot(
-                _dd_scale(A[keyXs][j], ds.clusters[j].smask), B[keyYs][j]))
+                _dd_scale(A[keyXs][j], cl.smask), B[keyYs][j]))
     return tot
 
 
@@ -295,14 +445,15 @@ def _max_abs_all(Ms, Ms_s):
 
 def _residuals(ds: DeviceSDP, state):
     """P = sum_i x_i A_i - X - sign*C;  d = c - <A_*,Y> - By;
-    p = sign*b - B^T x  (solver.jl:882-918)."""
+    p = sign*b - B^T x  (solver.jl:882-918). P is masked to the real block
+    area (padding must stay inert)."""
     x, y = state["x"], state["y"]
     Pres, Pres_s, dres = [], [], []
     for j, cl in enumerate(ds.clusters):
         wA, wA_s = _weighted_A_cluster(cl, x[j])
-        Pc = [dd_sub(dd_sub(wA[l], state["X"][j][l]),
-                     _dd_scale(b.C, ds.sign))
-              for l, b in enumerate(cl.blocks)]
+        Pc = [_dd_scale(dd_sub(dd_sub(wA[ki], state["X"][j][ki]),
+                               _dd_scale(k.C, ds.sign)), k.maskd)
+              for ki, k in enumerate(cl.classes)]
         Pres.append(Pc)
         if cl.s_nb:
             Ps = dd_sub(dd_sub(wA_s, state["Xs"][j]), _dd_scale(cl.sC, ds.sign))
@@ -328,59 +479,74 @@ def _objectives(ds: DeviceSDP, state):
     d_obj = dd_add(_dd_scale(dot_cx, ds.sign), ds.constant)
     CY = _scalar(0.0, ds.nw, ds.dtype)
     for j, cl in enumerate(ds.clusters):
-        for l, b in enumerate(cl.blocks):
-            CY = dd_add(CY, dl.dd_dot(b.C, state["Y"][j][l]))
+        for k, Yb in zip(cl.classes, state["Y"][j]):
+            CY = dd_add(CY, dl.dd_dot(k.C, Yb))       # C is zero on padding
         if cl.s_nb:
             CY = dd_add(CY, dl.dd_dot(cl.sC, state["Ys"][j]))
     by = dl.dd_dot(ds.b, y)
     p_obj = dd_add(dd_add(CY, by), ds.constant)
     diff = dd_sub(d_obj, p_obj)
-    gap_num = jnp.abs(to_float(diff))
-    denom = jnp.maximum(1.0, jnp.abs(to_float(d_obj) + to_float(p_obj)))
+    gap_num = jnp.abs(to_float(diff)).astype(jnp.float64)
+    denom = jnp.maximum(
+        1.0, jnp.abs(to_float(d_obj) + to_float(p_obj)).astype(jnp.float64))
     gap = gap_num / denom
     return d_obj, p_obj, gap
 
 
 def _errors(Pres, Pres_s, pres, dres):
-    dual_error = jnp.maximum(_max_abs_all(Pres, Pres_s), dl.dd_max_abs(pres))
+    """Error maxima (solver.jl:806-847): P_error = max |P| (matrix dual
+    residual), p_error = max |p| (free-variable dual residual), d_error =
+    max |d| (primal residual). dual_error = max(P, p) and primal_error = d
+    drive the feasibility thresholds, as in the reference."""
+    P_error = _max_abs_all(Pres, Pres_s)
+    p_error = dl.dd_max_abs(pres)
+    dual_error = jnp.maximum(P_error, p_error)
     primal_error = jnp.float64(0.0)
     for d_j in dres:
         primal_error = jnp.maximum(primal_error, dl.dd_max_abs(d_j))
-    return dual_error, primal_error
+    return dual_error, primal_error, P_error, p_error
 
 
 def _step_length(ds, state, keyM, keyMs, dM, dMs, gamma, eig_safety):
     """max alpha keeping M + alpha dM PSD, via min eig of L^-1 dM L^-T
-    (solver.jl:1618-1693). Returns (alpha_f64, chol_ok)."""
+    (solver.jl:1618-1693), batched per class. Returns (alpha_f64, chol_ok).
+    Padded area: M diagonal is 1 and dM is 0 there, so padding contributes
+    zero eigenvalues, which never tighten alpha below its real value."""
     min_eig = jnp.float64(jnp.inf)
     ok = jnp.bool_(True)
     for j, cl in enumerate(ds.clusters):
-        for l, b in enumerate(cl.blocks):
-            M, dMb = state[keyM][j][l], dM[j][l]
-            if b.n == 1:
-                e = to_float(dd_take(dMb, 0, 0)) / to_float(dd_take(M, 0, 0))
-                min_eig = jnp.minimum(min_eig, e)
+        for ki, k in enumerate(cl.classes):
+            M, dMb = state[keyM][j][ki], dM[j][ki]
+            if k.n == 1:
+                e = (to_float(dd_take(dMb, slice(None), 0, 0))
+                     / to_float(dd_take(M, slice(None), 0, 0)))
+                e = jnp.where(k.maskdiag[:, 0] > 0, e, jnp.inf)
+                min_eig = jnp.minimum(min_eig, jnp.min(e).astype(jnp.float64))
                 continue
-            L, okb = dl.dd_cholesky(M)
-            ok = ok & okb
-            W = dl.dd_solve_tril(L, dMb)
-            W2 = dl.dd_solve_tril(L, dl.dd_transpose(W))
+            Lc, okb = _bchol(M)
+            ok = ok & jnp.all(okb)
+            W = _bsolve_tril(Lc, dMb)
+            W2 = _bsolve_tril(Lc, dl.dd_transpose_b(W))
             A64 = W2[0].astype(jnp.float64)
             for c in W2[1:]:
                 A64 = A64 + c.astype(jnp.float64)
-            A64 = 0.5 * (A64 + A64.T)
+            A64 = 0.5 * (A64 + jnp.swapaxes(A64, -1, -2))
             # float64 eigh like the reference's Float64 Lanczos
             # (solver.jl:1659); f32 on TPU, where f64 lapack is unavailable.
             if jax.default_backend() == "tpu":
-                eigs = jnp.linalg.eigvalsh(A64.astype(jnp.float32)).astype(jnp.float64)
+                eigs = jnp.linalg.eigvalsh(
+                    A64.astype(jnp.float32)).astype(jnp.float64)
                 safety = 1e-5
             else:
                 eigs = jnp.linalg.eigvalsh(A64)
                 safety = eig_safety
-            min_eig = jnp.minimum(min_eig, eigs[0] - safety * (1.0 + jnp.abs(eigs[0])))
+            lo = eigs[:, 0]
+            min_eig = jnp.minimum(
+                min_eig, jnp.min(lo - safety * (1.0 + jnp.abs(lo))))
         if cl.s_nb:
             e = to_float(dMs[j]) / to_float(state[keyMs][j])
-            min_eig = jnp.minimum(min_eig, jnp.min(e))
+            e = jnp.where(cl.smask > 0, e, jnp.inf)
+            min_eig = jnp.minimum(min_eig, jnp.min(e).astype(jnp.float64))
     alpha = jnp.where(min_eig > -gamma, jnp.float64(1.0), -gamma / min_eig)
     return alpha, ok
 
@@ -407,13 +573,16 @@ def _axpy_state(state, dx, dy, dX, dY, dXs, dYs, alpha_d, alpha_p):
 def make_assess(ds: DeviceSDP):
     def assess(state):
         Pres, Pres_s, pres, dres = _residuals(ds, state)
-        dual_error, primal_error = _errors(Pres, Pres_s, pres, dres)
+        dual_error, primal_error, P_error, p_error = _errors(
+            Pres, Pres_s, pres, dres)
         d_obj, p_obj, gap = _objectives(ds, state)
         mu_dd = dd_div(_dot_state(ds, state, state),
                        _scalar(float(ds.total_size), ds.nw, ds.dtype))
         return {
             "dual_error": dual_error,
             "primal_error": primal_error,
+            "P_error": P_error,
+            "p_error": p_error,
             "d_obj": to_float(d_obj),
             "p_obj": to_float(p_obj),
             "dual_gap": gap,
@@ -447,15 +616,18 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
             mu_p = dd_mul_f64(
                 mu, jnp.where(pd_feas_prev, 0.0, beta_infeasible).astype(dt))
 
-        # chol(X) and X^-1 per block (solver.jl:387-400, 1117-1119)
+        # chol(X) and X^-1 per class (solver.jl:387-400, 1117-1119)
         Xinv, Xinv_s = [], []
         for j, cl in enumerate(ds.clusters):
             xi = []
-            for l, b in enumerate(cl.blocks):
-                L, okb = dl.dd_cholesky(X[j][l])
-                ok = ok & okb
-                ok_X = ok_X & okb
-                inv = dl.dd_solve_cholesky(L, dl.dd_eye(b.n, nw, dtype=dt))
+            for ki, k in enumerate(cl.classes):
+                Lc, okb = _bchol(X[j][ki])
+                ok = ok & jnp.all(okb)
+                ok_X = ok_X & jnp.all(okb)
+                eye = dl.dd_eye(k.n, nw, dtype=dt)
+                eye_b = tuple(jnp.broadcast_to(c, (k.L, k.n, k.n))
+                              for c in eye)
+                inv = _bsolve_cholesky(Lc, eye_b)
                 xi.append(dl.dd_symmetrize(inv))
             Xinv.append(xi)
             if cl.s_nb:
@@ -464,18 +636,21 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
             else:
                 Xinv_s.append(dl.dd_zeros((0,), nw, dtype=dt))
 
-        # R = mu I - X Y [- dX dY] (solver.jl:961-983)
+        # R = mu I - X Y [- dX dY] (solver.jl:961-983); masked on padding
         def _residual_R(mu_val, corr=None):
             Rs, Rs_s = [], []
             for j, cl in enumerate(ds.clusters):
                 Rc = []
-                for l, b in enumerate(cl.blocks):
-                    XY = dl.dd_matmul(X[j][l], Y[j][l])
-                    Rb = dd_sub(dd_mul(mu_val, dl.dd_eye(b.n, nw, dtype=dt)), XY)
+                for ki, k in enumerate(cl.classes):
+                    XY = _bmm(X[j][ki], Y[j][ki])
+                    eye = dl.dd_eye(k.n, nw, dtype=dt)
+                    eye_b = tuple(jnp.broadcast_to(c, (k.L, k.n, k.n))
+                                  for c in eye)
+                    Rb = dd_sub(dd_mul(mu_val, eye_b), XY)
                     if corr is not None:
-                        dXdY = dl.dd_matmul(corr[0][j][l], corr[1][j][l])
+                        dXdY = _bmm(corr[0][j][ki], corr[1][j][ki])
                         Rb = dd_sub(Rb, dXdY)
-                    Rc.append(Rb)
+                    Rc.append(_dd_scale(Rb, k.maskd))
                 Rs.append(Rc)
                 if cl.s_nb:
                     Rb = dd_sub(dd_mul(mu_val, _scalar(jnp.ones(cl.s_nb), nw, dt)),
@@ -507,7 +682,8 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
 
         # residuals for the current point (solver.jl:413-417)
         Pres, Pres_s, pres, dres = _residuals(ds, state)
-        dual_error, primal_error = _errors(Pres, Pres_s, pres, dres)
+        dual_error, primal_error, P_error, p_error = _errors(
+            Pres, Pres_s, pres, dres)
         pd_feas_now = (dual_error < dual_error_threshold) & \
                       (primal_error < primal_error_threshold)
 
@@ -516,9 +692,9 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
             Zs, Zs_s = [], []
             for j, cl in enumerate(ds.clusters):
                 Zc = []
-                for l, b in enumerate(cl.blocks):
-                    PY_ = dl.dd_matmul(Pres[j][l], Y[j][l])
-                    Zb = dl.dd_matmul(Xinv[j][l], dd_sub(PY_, Rcur[j][l]))
+                for ki, k in enumerate(cl.classes):
+                    PY_ = _bmm(Pres[j][ki], Y[j][ki])
+                    Zb = _bmm(Xinv[j][ki], dd_sub(PY_, Rcur[j][ki]))
                     Zc.append(dl.dd_symmetrize(Zb))
                 Zs.append(Zc)
                 if cl.s_nb:
@@ -559,9 +735,9 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
             dY, dYs = [], []
             for j, cl in enumerate(ds.clusters):
                 dYc = []
-                for l, b in enumerate(cl.blocks):
-                    dXY = dl.dd_matmul(dX[j][l], Y[j][l])
-                    dYb = dl.dd_matmul(Xinv[j][l], dd_sub(Rcur[j][l], dXY))
+                for ki, k in enumerate(cl.classes):
+                    dXY = _bmm(dX[j][ki], Y[j][ki])
+                    dYb = _bmm(Xinv[j][ki], dd_sub(Rcur[j][ki], dXY))
                     dYc.append(dl.dd_symmetrize(dYb))
                 dY.append(dYc)
                 if cl.s_nb:
@@ -579,7 +755,7 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
         r_num = dd_add(
             dd_add(_dot_state(ds, state, state), _dot_state(ds, state, dstate)),
             dd_add(_dot_state(ds, dstate, state), _dot_state(ds, dstate, dstate)))
-        r_val = to_float(r_num) / (to_float(mu) * K)
+        r_val = (to_float(r_num) / (to_float(mu) * K)).astype(jnp.float64)
         beta = jnp.where(r_val < 1.0, r_val ** 2, r_val)
         beta_c = jnp.where(pd_feas_now,
                            jnp.minimum(jnp.maximum(beta_feasible, beta), 1.0),
@@ -606,6 +782,8 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
             "mu": to_float(mu),
             "dual_error": dual_error,
             "primal_error": primal_error,
+            "P_error": P_error,
+            "p_error": p_error,
             "pd_feas": pd_feas_now,
             "alpha_d": alpha_d,
             "alpha_p": alpha_p,
