@@ -6,10 +6,12 @@ Baseline: the reference repo's only timing datapoint is ~18 ms/iteration
 (~55.6 it/s) for the polyopt example on the authors' machine
 (reference docs/src/solving.md:46); vs_baseline = ours / 55.6.
 
-Runs on whatever accelerator JAX picks (the real TPU chip under the driver).
-Note (round 1): on this TPU the emulated f64 is non-IEEE, so the double-word
-arithmetic is approximate there; the benchmark measures per-iteration
-throughput of the identical computation graph. See NOTES_TPU_NUMERICS.md.
+Runs on whatever accelerator JAX picks (the real TPU chip under the driver),
+using the numerically sound substrate for that backend: n-word f32
+expansions with exact int8-limb MXU GEMMs on TPU (where the emulated f64 is
+unsound), double-word f64 on IEEE backends. The measured graph is the
+device-CORRECT computation, not an approximation (round-1 measured an
+unsound f64-emulation graph; see NOTES_TPU_NUMERICS.md).
 """
 
 import json
@@ -32,13 +34,18 @@ BASELINE_ITERS_PER_S = 1000.0 / 18.0  # reference: ~18 ms/iter
 
 
 def main():
+    import jax.numpy as jnp
+
     problem = delsarte_problem(3, 10, Fraction(1, 2))
     sdp = ClusteredLowRankSDP(problem)
-    ds = DeviceSDP(sdp)
+    if jax.default_backend() == "tpu":
+        ds = DeviceSDP(sdp, nw=5, dtype=jnp.float32)
+    else:
+        ds = DeviceSDP(sdp)
     step = make_step(ds, gamma=0.9, beta_feasible=0.1, beta_infeasible=0.3,
                      dual_error_threshold=1e-12, primal_error_threshold=1e-12)
-    # omega small: keeps every intermediate inside the TPU f64-emulation's
-    # sane exponent window (see NOTES_TPU_NUMERICS.md)
+    # omega small: keeps every intermediate inside the f32-exponent window
+    # that both the chip's f64 emulation and the f32 substrate share
     state = initial_state(ds, 100.0, 100.0)
 
     # warmup/compile
@@ -55,6 +62,7 @@ def main():
     jax.block_until_ready(st["x"][0][0])
     dt = time.time() - t0
 
+    assert bool(info["ok"]), "benchmark step reported a failure flag"
     value = n_iters / dt
     print(json.dumps({
         "metric": "ipm_iterations_per_s_delsarte_3_10",

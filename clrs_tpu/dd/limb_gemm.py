@@ -83,12 +83,32 @@ def _rint32(y):
     return _bar(_bar(y + _MAGIC32) - _MAGIC32)
 
 
+def _unroll():
+    """On TPU every lax-loop iteration costs microseconds of control
+    overhead (the dominant cost for these tiny-tensor loops), so unroll the
+    fixed-length loops into flat op chains there; CPU keeps the rolled form
+    (compiles and runs better under LLVM)."""
+    return jax.default_backend() == "tpu"
+
+
 def _extract_limbs(words, L):
     """Split a scaled f32 expansion (|value| <= ~1/2) into L int8 limbs.
 
     Returns int8 [L, *shape] with
     value = sum_t limb_t * 2^-(LIMB_BITS*(t+1)) + r, |r| < 2^-(LIMB_BITS*L);
-    every limb an integer in [-65, 65]. All f32 ops exact. One lax.scan."""
+    every limb an integer in [-65, 65]. All f32 ops exact. One lax.scan
+    (or a flat unrolled chain on TPU)."""
+    if _unroll():
+        ws = list(words)
+        limbs = []
+        for _ in range(L):
+            ws = [c * _F_RADIX for c in ws]
+            ws = _vec_sum(ws)
+            d = _rint32(ws[0])
+            ws[0] = ws[0] - d
+            limbs.append(d.astype(jnp.int8))
+        return jnp.stack(limbs)
+
     W = jnp.stack(words)  # (nw, ...)
 
     def body(W, _):
@@ -164,7 +184,12 @@ def fx_matmul(a, b, nw=None):
         return jnp.stack(cs), None
 
     acc0 = jnp.zeros((nw + 2, m, n), dtype=jnp.float32)
-    acc, _ = jax.lax.scan(body, acc0, (jnp.arange(ndiag), diags))
+    if _unroll():
+        acc = acc0
+        for d in range(ndiag):
+            acc, _ = body(acc, (d, diags[d]))
+    else:
+        acc, _ = jax.lax.scan(body, acc0, (jnp.arange(ndiag), diags))
 
     # final renorm into nw words (two unrolled sweeps)
     cs = [acc[i] for i in range(nw + 2)]

@@ -125,8 +125,13 @@ def dd_dot(x, y):
 
 
 def dd_max_abs(x):
-    """max |x| as a plain float64 (used only for error reporting/termination)."""
-    v = jnp.abs(to_float(x))
+    """max |x| as a plain float64 (used only for error reporting/termination;
+    words are cast to f64 before summing so f32-substrate errors keep their
+    full precision)."""
+    s = x[0].astype(jnp.float64)
+    for c in x[1:]:
+        s = s + c.astype(jnp.float64)
+    v = jnp.abs(s)
     return jnp.max(v) if v.size else jnp.zeros((), jnp.float64)
 
 

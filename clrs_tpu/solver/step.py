@@ -82,6 +82,16 @@ def dd_take(m, *idx):
     return tuple(c[idx] for c in m)
 
 
+def _f64sum(x):
+    """Multi-word value -> float64 (for host-facing scalars: summing the
+    words after an exact cast keeps full precision up to f64, instead of
+    rounding through the f32 working dtype)."""
+    out = x[0].astype(jnp.float64)
+    for c in x[1:]:
+        out = out + c.astype(jnp.float64)
+    return out
+
+
 def _dd_scale(x, a):
     """multiply a multi-word array by an exact {0,1}/power-of-two array."""
     return tuple(c * a for c in x)
@@ -486,9 +496,8 @@ def _objectives(ds: DeviceSDP, state):
     by = dl.dd_dot(ds.b, y)
     p_obj = dd_add(dd_add(CY, by), ds.constant)
     diff = dd_sub(d_obj, p_obj)
-    gap_num = jnp.abs(to_float(diff)).astype(jnp.float64)
-    denom = jnp.maximum(
-        1.0, jnp.abs(to_float(d_obj) + to_float(p_obj)).astype(jnp.float64))
+    gap_num = jnp.abs(_f64sum(diff))
+    denom = jnp.maximum(1.0, jnp.abs(_f64sum(d_obj) + _f64sum(p_obj)))
     gap = gap_num / denom
     return d_obj, p_obj, gap
 
@@ -518,10 +527,10 @@ def _step_length(ds, state, keyM, keyMs, dM, dMs, gamma, eig_safety):
         for ki, k in enumerate(cl.classes):
             M, dMb = state[keyM][j][ki], dM[j][ki]
             if k.n == 1:
-                e = (to_float(dd_take(dMb, slice(None), 0, 0))
-                     / to_float(dd_take(M, slice(None), 0, 0)))
+                e = (_f64sum(dd_take(dMb, slice(None), 0, 0))
+                     / _f64sum(dd_take(M, slice(None), 0, 0)))
                 e = jnp.where(k.maskdiag[:, 0] > 0, e, jnp.inf)
-                min_eig = jnp.minimum(min_eig, jnp.min(e).astype(jnp.float64))
+                min_eig = jnp.minimum(min_eig, jnp.min(e))
                 continue
             Lc, okb = _bchol(M)
             ok = ok & jnp.all(okb)
@@ -544,9 +553,9 @@ def _step_length(ds, state, keyM, keyMs, dM, dMs, gamma, eig_safety):
             min_eig = jnp.minimum(
                 min_eig, jnp.min(lo - safety * (1.0 + jnp.abs(lo))))
         if cl.s_nb:
-            e = to_float(dMs[j]) / to_float(state[keyMs][j])
+            e = _f64sum(dMs[j]) / _f64sum(state[keyMs][j])
             e = jnp.where(cl.smask > 0, e, jnp.inf)
-            min_eig = jnp.minimum(min_eig, jnp.min(e).astype(jnp.float64))
+            min_eig = jnp.minimum(min_eig, jnp.min(e))
     alpha = jnp.where(min_eig > -gamma, jnp.float64(1.0), -gamma / min_eig)
     return alpha, ok
 
@@ -583,10 +592,10 @@ def make_assess(ds: DeviceSDP):
             "primal_error": primal_error,
             "P_error": P_error,
             "p_error": p_error,
-            "d_obj": to_float(d_obj),
-            "p_obj": to_float(p_obj),
+            "d_obj": _f64sum(d_obj),
+            "p_obj": _f64sum(p_obj),
             "dual_gap": gap,
-            "mu": to_float(mu_dd),
+            "mu": _f64sum(mu_dd),
         }
 
     return jax.jit(assess)
@@ -755,7 +764,7 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
         r_num = dd_add(
             dd_add(_dot_state(ds, state, state), _dot_state(ds, state, dstate)),
             dd_add(_dot_state(ds, dstate, state), _dot_state(ds, dstate, dstate)))
-        r_val = (to_float(r_num) / (to_float(mu) * K)).astype(jnp.float64)
+        r_val = _f64sum(r_num) / (_f64sum(mu) * K)
         beta = jnp.where(r_val < 1.0, r_val ** 2, r_val)
         beta_c = jnp.where(pd_feas_now,
                            jnp.minimum(jnp.maximum(beta_feasible, beta), 1.0),
@@ -779,7 +788,7 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
         d_obj, p_obj, gap = _objectives(ds, new_state)
 
         info = {
-            "mu": to_float(mu),
+            "mu": _f64sum(mu),
             "dual_error": dual_error,
             "primal_error": primal_error,
             "P_error": P_error,
@@ -788,8 +797,8 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
             "alpha_d": alpha_d,
             "alpha_p": alpha_p,
             "beta_c": beta_c,
-            "d_obj": to_float(d_obj),
-            "p_obj": to_float(p_obj),
+            "d_obj": _f64sum(d_obj),
+            "p_obj": _f64sum(p_obj),
             "dual_gap": gap,
             "ok": ok,
             "ok_X": ok_X,
