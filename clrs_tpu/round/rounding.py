@@ -33,7 +33,7 @@ from ..exact.hnf import hnf_normalmultiplier_with_transform
 from ..exact.lll import clindep, lll_reduce
 from ..exact.modp import find_pivots_modular
 from ..exact.rational import (integerize_rows, mat_inv, mat_mul, mat_vec,
-                              nullspace_from_rref, transpose)
+                              nullspace_from_rref, rref, transpose)
 from ..model.linearsystem import partial_linearsystem
 from ..model.problem import Constraint, LowRankMatPol, Objective, Problem, sortkey
 from ..solver.status import (PrimalSolution, DualSolution, as_primal_solution,
@@ -190,6 +190,87 @@ def detecteigenvectors(dualblock, primalblock, FF, g, settings, verbose=True):
     return kernel_vecs
 
 
+def detecteigenvectors_lll(m_block, bits, errbound, FF, g):
+    """Kernel detection via LLL integer relations (rounding.jl:645-740).
+
+    Finds integer relations among the rows of the (field-power-stacked)
+    approximate-kernel singular vectors; the nullspace of the accumulated
+    relation matrix spans the exact kernel. Returns vectors over FF."""
+    pm64 = _to_f64(m_block)
+    n = pm64.shape[0]
+    deg = 1 if (FF is QQ or FF is None) else FF.degree
+    gfr = to_fraction(g) if deg > 1 else Fraction(1)
+    gex = FF.gen() if deg > 1 else Fraction(1)
+
+    u, s, _ = np.linalg.svd(pm64)
+    ker = [i for i in range(n) if abs(s[i]) < errbound]
+    if n == 1 and abs(pm64[0, 0]) <= 1e-6:
+        int_vecs = [[1] * deg]
+    elif not ker:
+        return []
+    else:
+        num = len(ker)
+        # rows of m: entry index stacked over field powers; columns: the
+        # approximate kernel basis vectors (rounding.jl:654-656)
+        m = [[Fraction(float(gfr ** k * u[i, j])).limit_denominator(10 ** 17)
+              for j in ker] for k in range(deg) for i in range(n)]
+        nrows_m = deg * n
+        A_rows = []
+        s_idx = list(range(nrows_m))
+        int_vecs = []
+        while s_idx:
+            l = clindep([m[i] for i in s_idx], bits, errbound)
+            if deg == 1:
+                row = [0] * nrows_m
+                for idx, val in zip(s_idx, l):
+                    row[idx] = val
+                A_rows.append(row)
+            else:
+                # one FF equation -> deg rational equations, matched per
+                # power of the generator (rounding.jl:679-695)
+                cur = [FF(0)] * n
+                for idx, val in zip(s_idx, l):
+                    k, i = divmod(idx, n)
+                    cur[i] = cur[i] + FF(Fraction(val)) * gex ** k
+                AQQ, _ = convert_system(FF, [cur], [FF(0)])
+                for r in AQQ:
+                    den = 1
+                    for x in r:
+                        den = lcm(den, Fraction(x).denominator)
+                    A_rows.append([int(x * den) for x in r])
+            rank, _ = rref([[Fraction(x) for x in row] for row in A_rows])
+            if nrows_m - rank - deg * num <= 0:
+                _, X = nullspace_from_rref(
+                    [[Fraction(x) for x in row] for row in A_rows])
+                cols = transpose(X)
+                cols = integerize_rows(cols)
+                int_vecs = [[int(x) for x in c] for c in cols]
+                break
+            if all(x == 0 for x in l):
+                break
+            first_nz = next(j for j, x in enumerate(l) if x != 0)
+            s_idx.pop(first_nz)
+
+    out = []
+    for v in int_vecs:
+        # v has length deg*n over ZZ; fold back into FF and verify
+        vf = np.zeros(n)
+        vff = [FF(0) if deg > 1 else Fraction(0)] * n
+        for k in range(deg):
+            for i in range(n):
+                c = v[k * n + i]
+                if c:
+                    vf[i] += float(gfr ** k) * c
+                    vff[i] = vff[i] + (FF(Fraction(c)) * gex ** k
+                                       if deg > 1 else Fraction(c))
+        res = np.abs(pm64 @ vf).max()
+        if res > 1e-8:
+            raise ValueError(
+                f"wrong kernel vector detected via LLL (error {res:.2e})")
+        out.append(vff)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # kernel vector simplification (rounding.jl:860-1104)
 # ---------------------------------------------------------------------------
@@ -251,6 +332,22 @@ def simplify_kernelvectors(m_block, finalvectors, FF, g, settings, verbose=True)
         return _finish_B(B, kernel_dim, FF, g, settings, pm64,
                          front=True), FF_kerneldim
 
+    if settings.kernel_lll:
+        # the LLL route already went through a nullspace, so only the last
+        # step remains: clear denominators and LLL-reduce (rounding.jl:873-881)
+        rows_int = []
+        for r in lst:
+            den = 1
+            for x in r:
+                den = lcm(den, Fraction(x).denominator)
+            rows_int.append([int(x * den) for x in r])
+        kv_red = lll_reduce(rows_int)
+        kernel_dim = len(kv_red)
+        B = _complete_basis(
+            transpose([[Fraction(x) for x in r] for r in kv_red]), len(lst[0]))
+        return _finish_B(B, kernel_dim, FF, g, settings, pm64,
+                         front=True), FF_kerneldim
+
     # rows of `kernelvecs` are the kernel vectors; permute columns so the
     # one-hot (RREF pivot) columns come first
     kernelvecs = [list(r) for r in lst]
@@ -276,6 +373,54 @@ def simplify_kernelvectors(m_block, finalvectors, FF, g, settings, verbose=True)
             indices.append(c)
     indices_rev = [indices.index(k) for k in range(ncols)]
     kernelvecs = [[row[c] for c in indices] for row in kernelvecs]
+
+    if ncols > settings.reduce_kernelvectors_cutoff:
+        # windowed submatrix iteration (rounding.jl:897-947): reduce using
+        # the identity block plus a growing window of leading/trailing
+        # columns; accept once the transformed matrix is integral (or at
+        # least no larger than the input), else widen the window.
+        initial_max = max(
+            max((abs(Fraction(x).numerator) for r in lst for x in r),
+                default=1),
+            max((Fraction(x).denominator for r in lst for x in r), default=1))
+        s_step = max(1, settings.reduce_kernelvectors_stepsize)
+        kiter = 1
+        while True:
+            lead = min(nrows + s_step * kiter, ncols)
+            cols = list(range(lead))
+            cols += [c for c in range(max(lead, ncols - s_step * kiter), ncols)]
+            part = [[row[c] for c in cols] for row in kernelvecs]
+            kernel_dim, B_part = _reduction_step(part)
+            w = len(B_part[0])
+            # coefficient vectors: the identity block occupies the first
+            # `nrows` window columns, so a kernel column's leading entries
+            # are its coefficients over the original kernel vectors
+            C = [[Fraction(B_part[i][w - kernel_dim + c])
+                  for i in range(nrows)] for c in range(kernel_dim)]
+            reduced = mat_mul(C, kernelvecs)
+            if all(Fraction(x).denominator == 1 for r in reduced for x in r):
+                kv_red = lll_reduce([[int(x) for x in r] for r in reduced])
+                break
+            rows_int = []
+            for r in reduced:
+                den = 1
+                for x in r:
+                    den = lcm(den, Fraction(x).denominator)
+                rows_int.append([int(x * den) for x in r])
+            kv_red = lll_reduce(rows_int)
+            maxnum = max(abs(x) for r in kv_red for x in r)
+            if maxnum <= initial_max:
+                if verbose:
+                    print(f"    window {kiter}: non-integer transform, "
+                          f"max {maxnum} <= initial {initial_max}; accepting")
+                break
+            kiter += 1
+        kernel_dim = len(kv_red)
+        B = transpose([[Fraction(x) for x in r] for r in kv_red])
+        B = [B[indices_rev[i]] for i in range(ncols)]
+        B = _complete_basis(B, ncols)
+        return _finish_B(B, kernel_dim, FF, g, settings, pm64,
+                         front=True), FF_kerneldim
 
     kernel_dim, B = _reduction_step(kernelvecs)
     # columns of B: last kernel_dim are the kernel vectors (integers)
@@ -389,7 +534,30 @@ def basis_transformations(dualsol: DualSolution, sol: PrimalSolution, FF, g,
         N = m.shape[0]
         if verbose:
             print(f"  Block {k!r} of size {N} x {N}")
-        kernel_vecs = detecteigenvectors(dm, m, FF, g, settings, verbose)
+        if settings.kernel_lll:
+            one = Fraction(1) if (FF is QQ or FF is None) else FF(1)
+            zero = Fraction(0) if (FF is QQ or FF is None) else FF(0)
+            # near-zero diagonal entries give unit kernel vectors for free;
+            # restrict the LLL search to the complement (rounding.jl:758-775)
+            zerolist = [i for i in range(N)
+                        if abs(float(m[i, i])) < settings.kernel_errbound]
+            nonzero = [i for i in range(N) if i not in zerolist]
+            kernel_vecs = []
+            for i in zerolist:
+                v = [zero] * N
+                v[i] = one
+                kernel_vecs.append(v)
+            if nonzero:
+                sub = m[np.ix_(nonzero, nonzero)]
+                for vec in detecteigenvectors_lll(
+                        sub, settings.kernel_bits, settings.kernel_errbound,
+                        FF, g):
+                    v = [zero] * N
+                    for ii, val in zip(nonzero, vec):
+                        v[ii] = val
+                    kernel_vecs.append(v)
+        else:
+            kernel_vecs = detecteigenvectors(dm, m, FF, g, settings, verbose)
         if kernel_vecs:
             B, num_kernelvecs = simplify_kernelvectors(
                 m, kernel_vecs, FF, g, settings, verbose)
@@ -726,8 +894,29 @@ def _project_affine_system(A, b, settings, verbose=True):
     if settings.pseudo:
         try:
             rng = random.Random(7)
-            nonpivots = [i for i in range(ncolsA) if i not in set(pivots)]
-            rng.shuffle(nonpivots)
+            if settings.extracolumns_linindep:
+                # grow the extra-column set in rounds, keeping only columns
+                # linearly independent over the selected rows
+                # (rounding.jl:216-227)
+                extracolumns = []
+                chosen = set(pivots)
+                target = settings.pseudo_columnfactor * len(rows)
+                while len(chosen) < target:
+                    nonpivots = [i for i in range(ncolsA) if i not in chosen]
+                    if not nonpivots:
+                        break
+                    rng.shuffle(nonpivots)
+                    sub = [[int(A[i][j]) for j in nonpivots] for i in rows]
+                    extra = find_pivots_modular(sub)
+                    if not extra:
+                        break
+                    newcols = [nonpivots[j] for j in extra]
+                    extracolumns.extend(newcols)
+                    chosen.update(newcols)
+                nonpivots = extracolumns
+            else:
+                nonpivots = [i for i in range(ncolsA) if i not in set(pivots)]
+                rng.shuffle(nonpivots)
             column_subset = list(dict.fromkeys(list(pivots) + nonpivots))
             column_subset = column_subset[
                 : min(len(column_subset),

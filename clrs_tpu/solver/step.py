@@ -44,7 +44,7 @@ import numpy as np
 
 from ..compile.sdp import ClusteredLowRankSDP
 from ..dd import linalg as dl
-from ..dd.core import dd_add, dd_div, dd_mul, dd_mul_f64, dd_neg, dd_sub, to_float
+from ..dd.core import dd_add, dd_div, dd_mul, dd_neg, dd_sub
 
 __all__ = ["DeviceSDP", "make_step", "make_assess", "initial_state"]
 
@@ -75,6 +75,27 @@ def _w(a, nw, dtype=jnp.float64):
 def _scalar(v, nw, dtype=jnp.float64):
     """Broadcastable nw-word scalar from a traced/static float value."""
     v = jnp.asarray(v).astype(dtype)
+    return (v,) + (jnp.zeros_like(v),) * (nw - 1)
+
+
+def _scalar_split(v, nw, dtype=jnp.float64):
+    """Traced/static f64 scalar -> nw-word expansion of ``dtype``.
+
+    For f32 targets the value is split into up to three words by successive
+    rounding (each residual is exactly representable), so downstream word
+    arithmetic keeps the full f64 value instead of rounding it to one f32
+    word (a 2^-24 relative error injected straight into the iterate, which
+    is what the substrate-equivalence test catches)."""
+    v = jnp.asarray(v, dtype=jnp.float64)
+    if dtype == jnp.float32:
+        words = []
+        r = v
+        for _ in range(min(nw, 3)):
+            w = r.astype(jnp.float32)
+            words.append(w)
+            r = r - w.astype(jnp.float64)
+        words += [jnp.zeros_like(words[0])] * (nw - len(words))
+        return tuple(words)
     return (v,) + (jnp.zeros_like(v),) * (nw - 1)
 
 
@@ -562,16 +583,17 @@ def _step_length(ds, state, keyM, keyMs, dM, dMs, gamma, eig_safety):
 
 def _axpy_state(state, dx, dy, dX, dY, dXs, dYs, alpha_d, alpha_p):
     dt = state["y"][0].dtype
-    alpha_d = alpha_d.astype(dt)
-    alpha_p = alpha_p.astype(dt)
-    x = [dd_add(xj, dd_mul_f64(dxj, alpha_d)) for xj, dxj in zip(state["x"], dx)]
-    y = dd_add(state["y"], dd_mul_f64(dy, alpha_p))
-    X = [[dd_add(Xb, dd_mul_f64(dXb, alpha_d)) for Xb, dXb in zip(Xc, dXc)]
+    nw = len(state["y"])
+    ad = _scalar_split(alpha_d, nw, dt)
+    ap = _scalar_split(alpha_p, nw, dt)
+    x = [dd_add(xj, dd_mul(dxj, ad)) for xj, dxj in zip(state["x"], dx)]
+    y = dd_add(state["y"], dd_mul(dy, ap))
+    X = [[dd_add(Xb, dd_mul(dXb, ad)) for Xb, dXb in zip(Xc, dXc)]
          for Xc, dXc in zip(state["X"], dX)]
-    Y = [[dd_add(Yb, dd_mul_f64(dYb, alpha_p)) for Yb, dYb in zip(Yc, dYc)]
+    Y = [[dd_add(Yb, dd_mul(dYb, ap)) for Yb, dYb in zip(Yc, dYc)]
          for Yc, dYc in zip(state["Y"], dY)]
-    Xs = [dd_add(a, dd_mul_f64(b, alpha_d)) for a, b in zip(state["Xs"], dXs)]
-    Ys = [dd_add(a, dd_mul_f64(b, alpha_p)) for a, b in zip(state["Ys"], dYs)]
+    Xs = [dd_add(a, dd_mul(b, ad)) for a, b in zip(state["Xs"], dXs)]
+    Ys = [dd_add(a, dd_mul(b, ap)) for a, b in zip(state["Ys"], dYs)]
     return {"x": x, "y": y, "X": X, "Y": Y, "Xs": Xs, "Ys": Ys}
 
 
@@ -622,8 +644,9 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
         if correctoronly:
             mu_p = mu
         else:
-            mu_p = dd_mul_f64(
-                mu, jnp.where(pd_feas_prev, 0.0, beta_infeasible).astype(dt))
+            bw = _scalar_split(beta_infeasible, nw, dt)
+            mu_p = dd_mul(mu, tuple(jnp.where(pd_feas_prev, 0.0, w)
+                                    for w in bw))
 
         # chol(X) and X^-1 per class (solver.jl:387-400, 1117-1119)
         Xinv, Xinv_s = [], []
@@ -769,7 +792,7 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
         beta_c = jnp.where(pd_feas_now,
                            jnp.minimum(jnp.maximum(beta_feasible, beta), 1.0),
                            jnp.maximum(beta_infeasible, beta))
-        mu_c = dd_mul_f64(mu, beta_c.astype(dt))
+        mu_c = dd_mul(mu, _scalar_split(beta_c, nw, dt))
 
         # corrector direction (solver.jl:438-456)
         Rc, Rc_s = _residual_R(mu_c, corr=(dX, dY, dXs, dYs))

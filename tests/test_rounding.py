@@ -126,6 +126,33 @@ def test_rounding_settings_sweep():
                     assert objvalue(problem, esol) == 240
 
 
+def test_rounding_new_settings_paths():
+    """The previously inert settings are live: kernel_lll (LLL kernel
+    detection, rounding.jl:645-740), the windowed kernel reduction
+    (reduce_kernelvectors_cutoff/_stepsize, rounding.jl:897-947), and
+    extracolumns_linindep (rounding.jl:216-227)."""
+    from fractions import Fraction as F
+
+    from delsarte_exact import delsarte_exact
+
+    obj, problem, dualsol, primalsol, code = delsarte_exact(
+        8, 3, F(1, 2), omega_p=100.0, omega_d=100.0, verbose=False,
+        dual_error_threshold=1e-15, primal_error_threshold=1e-15)
+    for settings in (
+            # LLL-based kernel detection route
+            RoundingSettings(kernel_lll=True, kernel_bits=200),
+            # force the windowed big-matrix reduction on this small problem
+            RoundingSettings(reduce_kernelvectors_cutoff=2,
+                             reduce_kernelvectors_stepsize=2),
+            # linearly independent extra columns in the pseudoinverse solve
+            RoundingSettings(extracolumns_linindep=True),
+    ):
+        success, esol = exact_solution(problem, dualsol, primalsol,
+                                       settings=settings, verbose=False)
+        assert success
+        assert objvalue(problem, esol) == 240
+
+
 def test_three_point_bound_exact_10():
     """three_point_spherical_codes(4,1/6,-1,4) rounds to exactly 10
     (reference test/runtests_solver.jl:26-27, 89-93)."""
