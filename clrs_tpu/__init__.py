@@ -27,6 +27,19 @@ import jax as _jax  # noqa: E402
 # double-word arithmetic requires real IEEE float64 everywhere
 _jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the expansion-arithmetic step graphs are
+# large (minutes of XLA compile time on TPU for the nw>=4 tiers); caching
+# them on disk makes every process after the first start in seconds.
+try:
+    _cache_dir = _os.environ.get(
+        "CLRS_TPU_CACHE", _os.path.join(_os.path.dirname(__file__), "..",
+                                        ".jax_cache"))
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.path.abspath(_cache_dir))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - older jax without the knobs
+    pass
+
 from .model.problem import (  # noqa: E402
     Block,
     Constraint,

@@ -77,6 +77,25 @@ def test_delsarte_field_rounding_12():
     assert objvalue(problem, esol) == 12
 
 
+def test_delsarte_field_rounding_120():
+    """delsarte(4,9,1/(z-1)) rounds to exactly 120 over Q(sqrt5) — the
+    reference's hardest field-rounding oracle (runtests_solver.jl:98-111)."""
+    from decimal import Decimal
+
+    from clrs_tpu.exact.field import NumberField
+    from delsarte_exact import delsarte_round
+
+    FF = NumberField([-5, 0, 1], "z", approx_root=Decimal(5).sqrt())
+    costheta = (FF.gen() - FF(1)).inverse()
+    success, problem, esol = delsarte_round(
+        4, 9, costheta, FF=FF, g=Decimal(5).sqrt(), eps=1e-20,
+        omega_p=100.0, omega_d=100.0, verbose=False,
+        dual_error_threshold=1e-16, primal_error_threshold=1e-16,
+        settings=RoundingSettings(kernel_errbound=1e-8))
+    assert success
+    assert objvalue(problem, esol) == 120
+
+
 def test_find_field_recovers_sqrt5():
     """find_field recovers a field containing sqrt5 from the numerical
     solution (reference runtests_solver.jl:98-105)."""
