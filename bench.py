@@ -22,7 +22,8 @@ import jax
 
 import clrs_tpu  # noqa: F401  (sets x64 + XLA flags)
 from clrs_tpu.compile.sdp import ClusteredLowRankSDP
-from clrs_tpu.solver.step import DeviceSDP, initial_state, make_step
+from clrs_tpu.solver.step import (DeviceSDP, initial_state, make_run_chunk,
+                                  zero_info)
 
 import sys
 from pathlib import Path
@@ -42,34 +43,34 @@ def main():
         ds = DeviceSDP(sdp, nw=5, dtype=jnp.float32)
     else:
         ds = DeviceSDP(sdp)
-    step = make_step(ds, gamma=0.9, beta_feasible=0.1, beta_infeasible=0.3,
-                     dual_error_threshold=1e-12, primal_error_threshold=1e-12)
+    # Device-side bounded while_loop: N iterations in ONE dispatch (the
+    # production sync_every path). Thresholds are set so termination can
+    # never fire mid-chunk (gap < 0.0 is impossible), so the loop runs
+    # exactly nmax committed iterations unless a Cholesky fails.
+    run = make_run_chunk(ds, duality_gap_threshold=0.0,
+                         step_length_threshold=0.0,
+                         max_complementary_gap=float("inf"),
+                         gamma=0.9, beta_feasible=0.1, beta_infeasible=0.3,
+                         dual_error_threshold=1e-12,
+                         primal_error_threshold=1e-12)
     # omega small: keeps every intermediate inside the f32-exponent window
     # that both the chip's f64 emulation and the f32 substrate share
     state = initial_state(ds, 100.0, 100.0)
 
-    # warmup/compile (pd_feas as a committed device bool so the timed loop
-    # below reuses this exact compiled signature)
-    feas0 = jnp.zeros((), dtype=bool)
-    new_state, info = step(state, feas0)
-    jax.block_until_ready(new_state["x"][0][0])
+    feas = jnp.zeros((), dtype=bool)
+    info = zero_info()
+    # warmup/compile (nmax is a traced scalar: one compile serves both calls)
+    state, feas, info, itd, code, done = run(state, feas, info, 1)
+    jax.block_until_ready(state["x"][0][0])
 
     n_iters = 20
     t0 = time.time()
-    st = state
-    # pd_feas stays a DEVICE array between iterations: the real solve loop
-    # fetches the info dict once per iteration anyway, but on the tunneled
-    # chip a device->host readback costs ~30 ms, which would measure the
-    # link latency instead of the iteration. The iteration math is
-    # identical either way (pd_feas is a traced argument).
-    feas = feas0
-    for _ in range(n_iters):
-        st, info = step(st, feas)
-        feas = info["pd_feas"]
-    jax.block_until_ready(st["x"][0][0])
+    state, feas, info, itd, code, done = run(state, feas, info, n_iters)
+    jax.block_until_ready(state["x"][0][0])
     dt = time.time() - t0
 
-    assert bool(info["ok"]), "benchmark step reported a failure flag"
+    assert int(itd) == n_iters and int(code) == 0, \
+        f"benchmark chunk stopped early (it={int(itd)}, code={int(code)})"
     value = n_iters / dt
     print(json.dumps({
         "metric": "ipm_iterations_per_s_delsarte_3_10",

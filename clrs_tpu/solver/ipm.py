@@ -58,7 +58,8 @@ def solvesdp(problem, *, prec=None, maxiterations=500,
              primalsol: Optional[PrimalSolution] = None,
              safe_step=True, correctoronly=False,
              save_settings: Optional[SaveSettings] = None,
-             preprocess=True, testing=False, substrate=None):
+             preprocess=True, testing=False, substrate=None,
+             sync_every=None):
     """Solve; returns (status, dualsol, primalsol, solve_time, errorcode).
 
     `prec` selects the precision tier of the on-device expansion arithmetic
@@ -71,6 +72,13 @@ def solvesdp(problem, *, prec=None, maxiterations=500,
     exact on this TPU, whose f32 is IEEE while its f64 is an unsound
     emulation; GEMMs run as exact int8-limb MXU products), or None to pick
     automatically from the active JAX backend.
+
+    `sync_every` batches that many IPM iterations into ONE device dispatch
+    (a bounded on-device while_loop with the same termination/failure
+    semantics, :func:`..solver.step.make_run_chunk`). On a tunneled/remote
+    TPU each dispatch costs link latency, so the default there is 8;
+    elsewhere 1 (per-iteration host control, like the reference's loop).
+    The iteration log then prints one row per chunk.
     """
     if isinstance(problem, Problem):
         sdp = ClusteredLowRankSDP(problem)
@@ -97,11 +105,23 @@ def solvesdp(problem, *, prec=None, maxiterations=500,
     else:
         nw, dtype = (4 if hi_tier else 2), jnp.float64
     ds = DeviceSDP(sdp, nw=nw, dtype=dtype)
-    step = make_step(ds, gamma=gamma, beta_feasible=beta_feasible,
-                     beta_infeasible=beta_infeasible,
-                     dual_error_threshold=dual_error_threshold,
-                     primal_error_threshold=primal_error_threshold,
-                     safe_step=safe_step, correctoronly=correctoronly)
+    if sync_every is None:
+        sync_every = 8 if jax.default_backend() == "tpu" else 1
+    step_kw = dict(gamma=gamma, beta_feasible=beta_feasible,
+                   beta_infeasible=beta_infeasible,
+                   dual_error_threshold=dual_error_threshold,
+                   primal_error_threshold=primal_error_threshold,
+                   safe_step=safe_step, correctoronly=correctoronly)
+    if sync_every > 1:
+        from .step import make_run_chunk, zero_info
+        run_chunk = make_run_chunk(
+            ds, duality_gap_threshold=duality_gap_threshold,
+            need_dual_feasible=need_dual_feasible,
+            need_primal_feasible=need_primal_feasible,
+            step_length_threshold=step_length_threshold,
+            max_complementary_gap=max_complementary_gap, **step_kw)
+    else:
+        step = make_step(ds, **step_kw)
     assess = make_assess(ds)
 
     state = initial_state(ds, float(omega_p), float(omega_d))
@@ -158,6 +178,62 @@ def solvesdp(problem, *, prec=None, maxiterations=500,
                 print(f"The maximum complementary gap has been exceeded (mu = {mu}).")
             error_code = 3
             break
+
+        if sync_every > 1:
+            import jax.numpy as jnp
+            from .step import zero_info
+            if it == 1:
+                _feas_dev = jnp.asarray(bool(pd_feas))
+                _info_dev = zero_info(info0)
+            t_it = _time.time()
+            n = min(sync_every, maxiterations - it + 1)
+            state, _feas_dev, _info_dev, itd, code, done = run_chunk(
+                state, _feas_dev, _info_dev, n)
+            itd, code = int(itd), int(code)
+            step_times.append(_time.time() - t_it)
+            info = {k: float(v) for k, v in _info_dev.items()}
+            if itd:
+                mu = info["mu"]
+                dual_error = info["dual_error"]
+                primal_error = info["primal_error"]
+                pd_feas = bool(info["pd_feas"])
+                d_obj, p_obj = info["d_obj"], info["p_obj"]
+                dual_gap = info["dual_gap"]
+                it += itd
+                if verbose:
+                    print(f"{it - 1:5d} {_time.time()-t0:8.1f} {mu:11.3e} "
+                          f"{d_obj:11.3e} {p_obj:11.3e} {dual_gap:10.2e} "
+                          f"{info['P_error']:10.2e} {info['p_error']:10.2e} "
+                          f"{primal_error:10.2e} {info['alpha_d']:10.2e} "
+                          f"{info['alpha_p']:10.2e} {info['beta_c']:10.2e}")
+            if code == 1:
+                if verbose:
+                    print("A Cholesky decomposition failed (or non-finite "
+                          "values appeared); returning the current solution. "
+                          "The problem may need preprocessing or more "
+                          "precision.")
+                error_code = 1
+                break
+            if code == 4:
+                if verbose:
+                    print("The step length was too short; possible precision "
+                          "issues or infeasibility.")
+                error_code = 4
+                break
+            if code == 3:
+                if verbose:
+                    print(f"The maximum complementary gap has been exceeded "
+                          f"(mu = {mu}).")
+                error_code = 3
+                break
+            if save_settings is not None and save_settings.iter_interval \
+                    and it - last_save_iter >= save_settings.iter_interval:
+                last_save_iter = it
+                save_count += 1
+                _save(save_settings, save_count, _extract(ds, sdp, state, post))
+            if itd == 0:
+                break
+            continue
 
         t_it = _time.time()
         new_state, info = step(state, bool(pd_feas))

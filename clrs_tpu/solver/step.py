@@ -41,12 +41,34 @@ from typing import Any, List, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..compile.sdp import ClusteredLowRankSDP
 from ..dd import linalg as dl
 from ..dd.core import dd_add, dd_div, dd_mul, dd_neg, dd_sub
 
-__all__ = ["DeviceSDP", "make_step", "make_assess", "initial_state"]
+__all__ = ["DeviceSDP", "make_step", "make_step_body", "make_run_chunk",
+           "make_assess", "initial_state", "zero_info"]
+
+
+def zero_info(assess_info=None):
+    """Initial info carry for :func:`make_run_chunk` (dtypes must match the
+    step body's info dict; values are seeded from an assess() result when
+    available so an immediately-failing chunk still reports sane errors)."""
+    import jax.numpy as jnp
+
+    f = lambda k: jnp.float64(float(assess_info[k]) if assess_info
+                              and k in assess_info else 0.0)  # noqa: E731
+    return {
+        "mu": f("mu"), "dual_error": f("dual_error"),
+        "primal_error": f("primal_error"), "P_error": f("P_error"),
+        "p_error": f("p_error"), "pd_feas": jnp.bool_(False),
+        "alpha_d": jnp.float64(1.0), "alpha_p": jnp.float64(1.0),
+        "beta_c": jnp.float64(0.0), "d_obj": f("d_obj"), "p_obj": f("p_obj"),
+        "dual_gap": f("dual_gap"), "ok": jnp.bool_(True),
+        "ok_X": jnp.bool_(True), "ok_S": jnp.bool_(True),
+        "ok_Q": jnp.bool_(True),
+    }
 
 
 def _w(a, nw, dtype=jnp.float64):
@@ -410,27 +432,35 @@ def _schur_cluster(cl: _DevCluster, Xinvs, Ys, Xinv_s, Y_s):
     for k, Xinv, Y in zip(cl.classes, Xinvs, Ys):
         if k.kind == "lowrank":
             PX = _panel_b(k, Xinv)                    # [L, m, m]
-            PY = _panel_b(k, Y)
+            PYT = dl.dd_transpose_b(_panel_b(k, Y))
             # S_pq += sum_{l,t1,t2} lam[l,p,t1] lam[l,q,t2]
             #         * PX[l, li[l,p,t1], ri[l,q,t2]]
             #         * PY[l, li[l,q,t2], ri[l,p,t1]]
-            L = k.L
-            lidx = jnp.arange(L)[:, None, None, None, None]
-            li1 = k.li[:, :, :, None, None]           # [L,P,T,1,1]
-            ri2 = k.ri[:, None, None, :, :]           # [L,1,1,P,T]
-            li2 = k.li[:, None, None, :, :]
-            ri1 = k.ri[:, :, :, None, None]
-            gx = tuple(c[lidx, li1, ri2] for c in PX)  # [L,P,T,P,T]
-            gy = tuple(c[lidx, li2, ri1] for c in PY)
-            lam1 = tuple(c[:, :, :, None, None] for c in k.lam)
-            lam2 = tuple(c[:, None, None, :, :] for c in k.lam)
-            v = dd_mul(dd_mul(lam1, lam2), dd_mul(gx, gy))
-            mask = k.tmask[:, :, :, None, None] * k.tmask[:, None, None, :, :]
-            v = _dd_scale(v, mask)
-            # sum over t2, t1, then the class batch
-            contrib = dl.dd_sum(dl.dd_sum(dl.dd_sum(v, axis=4), axis=2),
-                                axis=0)
-            S = dd_add(S, contrib)
+            # Contract one term axis at a time (loop over t1, vectorized
+            # over t2): peak intermediate is [L,P,P,T] instead of the
+            # [L,P,T,P,T] gather tensor — T times smaller, which is what
+            # keeps three-point-scale problems (P in the hundreds) on chip.
+            # The reference's analogue is the quadruple contraction loop
+            # (solver.jl:1176-1212).
+            L, P_, T = k.li.shape
+            lidx = jnp.arange(L)[:, None, None, None]
+            li2 = k.li[:, None, :, :]                 # [L,1,P,T] (q,t2)
+            ri2 = k.ri[:, None, :, :]
+            lam2 = tuple(c[:, None, :, :] for c in k.lam)
+            m2 = k.tmask[:, None, :, :]
+            contrib = None
+            for t1 in range(T):
+                li1 = k.li[:, :, t1, None, None]      # [L,P,1,1]
+                ri1 = k.ri[:, :, t1, None, None]
+                gx = tuple(c[lidx, li1, ri2] for c in PX)   # [L,P,P,T]
+                gy = tuple(c[lidx, ri1, li2] for c in PYT)  # PY[li2, ri1]
+                v = dd_mul(lam2, dd_mul(gx, gy))
+                v = _dd_scale(v, m2 * k.tmask[:, :, t1, None, None])
+                inner = dl.dd_sum(v, axis=3)          # [L,P,P]
+                lam1 = tuple(c[:, :, t1, None] for c in k.lam)
+                term = dd_mul(lam1, inner)
+                contrib = term if contrib is None else dd_add(contrib, term)
+            S = dd_add(S, dl.dd_sum(contrib, axis=0))
         else:
             LP = k.L * P
             Af = tuple(c.reshape(LP, k.n, k.n) for c in k.A)
@@ -623,11 +653,11 @@ def make_assess(ds: DeviceSDP):
     return jax.jit(assess)
 
 
-def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
-              beta_infeasible: float, dual_error_threshold: float,
-              primal_error_threshold: float, safe_step: bool = True,
-              correctoronly: bool = False, eig_safety: float = 1e-12):
-    """Build the jitted one-iteration function."""
+def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
+                   beta_infeasible: float, dual_error_threshold: float,
+                   primal_error_threshold: float, safe_step: bool = True,
+                   correctoronly: bool = False, eig_safety: float = 1e-12):
+    """Build the (unjitted) one-iteration function."""
 
     K = float(ds.total_size)
     nw = ds.nw
@@ -830,4 +860,82 @@ def make_step(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
         }
         return new_state, info
 
-    return jax.jit(step)
+    return step
+
+
+def make_step(ds: DeviceSDP, **kw):
+    """Build the jitted one-iteration function."""
+    return jax.jit(make_step_body(ds, **kw))
+
+
+def make_run_chunk(ds: DeviceSDP, *, duality_gap_threshold: float,
+                   need_dual_feasible: bool = False,
+                   need_primal_feasible: bool = False,
+                   step_length_threshold: float = 1e-7,
+                   max_complementary_gap: float = 1e100, **step_kw):
+    """Device-side bounded solve loop: up to ``nmax`` IPM iterations in ONE
+    dispatch (a `lax.while_loop` around the step body).
+
+    TPU-first replacement for calling the jitted step once per iteration
+    from the host: on a tunneled/remote chip each dispatch costs link
+    latency comparable to the iteration itself, and the reference's
+    per-iteration host control (solver.jl:348-593) would serialize on it.
+    Termination, failure handling ("return the current iterate"), and the
+    error codes 1/3/4 are evaluated on device with the same semantics as
+    the host loop; codes 0/2 remain host-side decisions.
+
+    Returns a jitted ``run(state, pd_feas, info, nmax) ->
+    (state, pd_feas, info, it_done, code, done)`` where ``it_done`` counts
+    committed iterations, ``code`` is 0/1/3/4, and ``done`` says the device
+    loop stopped for a reason other than exhausting ``nmax``.
+    """
+    body = make_step_body(ds, **step_kw)
+    dual_error_threshold = step_kw.get("dual_error_threshold", 1e-30)
+    primal_error_threshold = step_kw.get("primal_error_threshold", 1e-30)
+    correctoronly = step_kw.get("correctoronly", False)
+
+    def run(state, pd_feas, info, nmax):
+        def cond(carry):
+            _, _, _, it, _, done = carry
+            return (~done) & (it < nmax)
+
+        def loop_body(carry):
+            state, pd_feas, info_prev, it, code, _ = carry
+            new_state, info = body(state, pd_feas)
+            okstep = info["ok"] & jnp.isfinite(info["mu"])
+            alpha_ok = jnp.minimum(info["alpha_d"], info["alpha_p"]) \
+                >= step_length_threshold
+            commit = okstep & alpha_ok
+            state2 = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(commit, a, b), new_state, state)
+            info2 = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(commit, a, b), info, info_prev)
+            pd_feas2 = jnp.where(commit, info["pd_feas"], pd_feas)
+            it2 = it + commit.astype(jnp.int32)
+            # termination with the updated errors (the host checks these at
+            # the top of the next iteration; same decision point)
+            term = jnp.bool_(False)
+            if need_dual_feasible:
+                term |= info2["dual_error"] < dual_error_threshold
+            if need_primal_feasible:
+                term |= info2["primal_error"] < primal_error_threshold
+            if not correctoronly:
+                term |= ((info2["dual_error"] < dual_error_threshold)
+                         & (info2["primal_error"] < primal_error_threshold)
+                         & (info2["dual_gap"] < duality_gap_threshold))
+            mu_exceeded = info2["mu"] > max_complementary_gap
+            code2 = jnp.where(
+                code != 0, code,
+                jnp.where(~okstep, 1,
+                          jnp.where(~alpha_ok, 4,
+                                    jnp.where(mu_exceeded, 3, 0))))
+            done2 = (~commit) | term | mu_exceeded
+            return (state2, pd_feas2, info2, it2, code2, done2)
+
+        carry = (state, pd_feas, info, jnp.int32(0), jnp.int32(0),
+                 jnp.bool_(False))
+        state, pd_feas, info, it, code, done = lax.while_loop(
+            cond, loop_body, carry)
+        return state, pd_feas, info, it, code, done
+
+    return jax.jit(run)
