@@ -27,7 +27,7 @@ as the Dot2 path it replaces.
 
 On IEEE-f64 backends (CPU) every step above is exact. On this TPU the
 f64 emulation is approximate (NOTES_TPU_NUMERICS.md), as it was for the
-previous GEMM path; the int8-limb MXU backend (mxu_gemm.py) is the
+previous GEMM path; the int8-limb MXU backend (limb_gemm.py) is the
 device-exact variant.
 """
 

@@ -452,8 +452,6 @@ def _complete_basis(B_cols, N):
     have = [list(map(Fraction, c)) for c in cols]
     # Gram-Schmidt in float for independence testing
     acc = [np.array([float(x) for x in c]) for c in have]
-    for v in list(acc):
-        pass
     ortho = []
     for v in acc:
         w = v.copy()

@@ -513,8 +513,7 @@ def _warm_start(ds, sdp, state, dualsol: DualSolution, primalsol: PrimalSolution
 
     names = getattr(sdp, "free_names_reduced", sdp.free_names)
     scale = getattr(sdp, "free_scale", None)
-    name_to_full = {id(None): None}
-    full_index = { }
+    full_index = {}
     for i, k in enumerate(sdp.free_names):
         full_index[str(k)] = i
     yh = np.zeros(len(names))

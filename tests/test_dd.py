@@ -91,11 +91,15 @@ def test_triangular_solves(rng):
     assert np.max(np.abs(u @ (np.asarray(x[0]) + np.asarray(x[1])) - b)) < 1e-13
 
 
-def test_mxu_limb_gemm_dd_accuracy():
-    """Integer-limb (int8-MXU-style) GEMM reaches double-word accuracy."""
+def test_limb_gemm_dd_accuracy():
+    """The f32-expansion int8-MXU GEMM reaches double-word accuracy on
+    dd-style inputs with a wide row dynamic range (the mixed-scale regime
+    the superseded mxu_gemm prototype used to cover)."""
     from fractions import Fraction
 
-    from clrs_tpu.dd.mxu_gemm import mxu_dd_matmul
+    import jax
+
+    from clrs_tpu.dd.limb_gemm import fx_matmul
 
     rng = np.random.default_rng(3)
     m, k, n = 8, 32, 6
@@ -103,16 +107,25 @@ def test_mxu_limb_gemm_dd_accuracy():
     al = ah * 1e-17 * rng.standard_normal((m, k))
     bh = rng.standard_normal((k, n))
     bl = bh * 1e-17 * rng.standard_normal((k, n))
-    out = linalg.dd_matmul  # silence linters
-    import jax
 
-    out = jax.jit(mxu_dd_matmul)((jnp.array(ah), jnp.array(al)),
-                                 (jnp.array(bh), jnp.array(bl)))
+    def split_words(h, l, nw=5):
+        from clrs_tpu.dd.core import dd_add_f64
+
+        h = np.asarray(h, np.float64)
+        l = np.asarray(l, np.float64)
+        ws = []
+        for _ in range(nw):
+            w = (h + l).astype(np.float32)
+            ws.append(jnp.asarray(w))
+            h, l = dd_add_f64((h, l), -w.astype(np.float64))
+        return tuple(ws)
+
+    out = jax.jit(fx_matmul)(split_words(ah, al), split_words(bh, bl))
     for i in range(m):
         sc = max(abs(Fraction(ah[i, t])) for t in range(k))
         for j in range(n):
             truth = sum((Fraction(ah[i, t]) + Fraction(al[i, t]))
                         * (Fraction(bh[t, j]) + Fraction(bl[t, j]))
                         for t in range(k))
-            got = Fraction(float(out[0][i, j])) + Fraction(float(out[1][i, j]))
+            got = sum(Fraction(float(out[w][i, j])) for w in range(len(out)))
             assert abs(got - truth) / sc < Fraction(1, 10 ** 29)

@@ -58,6 +58,7 @@ def test_exact_stack_primitives():
     assert xs == [Fraction(1), Fraction(3)]
 
 
+@pytest.mark.slow
 def test_delsarte_field_rounding_12():
     """delsarte(3,2,1/sqrt5) rounds to exactly 12 over Q(sqrt5)
     (reference runtests_solver.jl:124 uses the same oracle)."""
@@ -77,6 +78,7 @@ def test_delsarte_field_rounding_12():
     assert objvalue(problem, esol) == 12
 
 
+@pytest.mark.slow
 def test_delsarte_field_rounding_120():
     """delsarte(4,9,1/(z-1)) rounds to exactly 120 over Q(sqrt5) — the
     reference's hardest field-rounding oracle (runtests_solver.jl:98-111)."""
@@ -96,6 +98,7 @@ def test_delsarte_field_rounding_120():
     assert objvalue(problem, esol) == 120
 
 
+@pytest.mark.slow
 def test_find_field_recovers_sqrt5():
     """find_field recovers a field containing sqrt5 from the numerical
     solution (reference runtests_solver.jl:98-105)."""
@@ -172,6 +175,7 @@ def test_rounding_new_settings_paths():
         assert objvalue(problem, esol) == 240
 
 
+@pytest.mark.slow
 def test_three_point_bound_exact_10():
     """three_point_spherical_codes(4,1/6,-1,4) rounds to exactly 10
     (reference test/runtests_solver.jl:26-27, 89-93)."""

@@ -32,6 +32,7 @@ def _build(scalar_pad=1):
     return ds, step, initial_state(ds, 100.0, 100.0)
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     n_dev = len(jax.devices())
     assert n_dev >= 8, "conftest should provide 8 virtual CPU devices"

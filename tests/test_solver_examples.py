@@ -52,6 +52,7 @@ def test_min_f_s3_invariant():
     assert abs(float(objvalue(problem, primalsol)) - (-2.1129138814)) < 1e-6
 
 
+@pytest.mark.slow
 def test_cohnelkies_sphere_packing_d3():
     """Cohn-Elkies dim 8, d=3 (value pinned from two independent
     formulations of reference examples/SpherePacking.jl:117-185; the full

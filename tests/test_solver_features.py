@@ -30,6 +30,7 @@ def _tiny_problem():
     return Problem(Maximize(obj), cons)
 
 
+@pytest.mark.slow
 def test_model_psd_variables_as_free_variables():
     """Reformulation preserves the optimum (runtests_solver.jl:30-38)."""
     p = _tiny_problem()
@@ -59,6 +60,7 @@ def test_preprocess_on_off_equivalence():
     assert abs(float(objvalue(p, ps1)) - float(objvalue(p, ps2))) < 1e-9
 
 
+@pytest.mark.slow
 def test_saving_and_warmstart(tmp_path):
     """SaveSettings writes checkpoints; warm start resumes
     (runtests_solver.jl:53-69, 166-173)."""
