@@ -39,6 +39,14 @@ from .core import (
 )
 
 __all__ = [
+    "b_cholesky",
+    "b_solve_tril",
+    "b_solve_tril_t",
+    "b_solve_cholesky",
+    "s_cholesky",
+    "s_solve_tril",
+    "s_solve_tril_t",
+    "s_solve_cholesky",
     "dd_array",
     "dd_array_b",
     "dd_transpose_b",
@@ -312,3 +320,81 @@ def dd_solve_cholesky(l, b):
     """Solve (L L^T) X = B given the Cholesky factor L."""
     y = dd_solve_tril(l, b)
     return dd_solve_triu(dd_transpose(l), y)
+
+
+# ---------------------------------------------------------------------------
+# batched front-ends: route to the Pallas TPU kernels (whole factorization
+# in ONE kernel, pallas_linalg.py) on the f32 substrate, else vmap the
+# XLA-loop versions above. These are the entry points the solver uses.
+# ---------------------------------------------------------------------------
+
+def _pallas_route(x):
+    """True when the batched Pallas kernels apply: f32 expansion words on
+    the real TPU, [L, n, n] operands with n >= 2 (1x1 blocks and CPU runs
+    keep the plain vmapped loop; off-TPU the kernels would run under the
+    slow Pallas interpreter)."""
+    return (wdtype(x) == jnp.float32 and jax.default_backend() == "tpu"
+            and x[0].ndim == 3 and x[0].shape[-1] >= 2)
+
+
+def b_cholesky(a):
+    """Batched Cholesky of [L, n, n] words -> (L_factor, ok[L])."""
+    if _pallas_route(a):
+        from . import pallas_linalg as P
+
+        return P.pl_cholesky_b(a)
+    return jax.vmap(dd_cholesky)(a)
+
+
+def b_solve_tril(l, b):
+    """Batched forward substitution L X = B ([L, n, n] @ [L, n, m])."""
+    if b[0].shape[-1] == 0:
+        return b
+    if _pallas_route(l):
+        from . import pallas_linalg as P
+
+        return P.pl_solve_tril_b(l, b)
+    return jax.vmap(dd_solve_tril)(l, b)
+
+
+def b_solve_tril_t(l, b):
+    """Batched backward substitution L^T X = B given the LOWER factor L
+    (the Pallas kernel never forms the transpose)."""
+    if b[0].shape[-1] == 0:
+        return b
+    if _pallas_route(l):
+        from . import pallas_linalg as P
+
+        return P.pl_solve_tril_t_b(l, b)
+    return jax.vmap(dd_solve_triu)(dd_transpose(l), b)
+
+
+def b_solve_cholesky(l, b):
+    """Batched (L L^T) X = B."""
+    return b_solve_tril_t(l, b_solve_tril(l, b))
+
+
+def _b1(x):
+    return tuple(c[None] for c in x)
+
+
+def _ub1(x):
+    return tuple(c[0] for c in x)
+
+
+def s_cholesky(a):
+    """Unbatched Cholesky routed through the batched/Pallas path."""
+    L, ok = b_cholesky(_b1(a))
+    return _ub1(L), ok[0]
+
+
+def s_solve_tril(l, b):
+    return _ub1(b_solve_tril(_b1(l), _b1(b)))
+
+
+def s_solve_tril_t(l, b):
+    return _ub1(b_solve_tril_t(_b1(l), _b1(b)))
+
+
+def s_solve_cholesky(l, b):
+    return _ub1(b_solve_cholesky(_b1(l), _b1(b)))

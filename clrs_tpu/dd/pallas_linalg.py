@@ -1,0 +1,273 @@
+"""Pallas TPU kernels for expansion-arithmetic dense linear algebra.
+
+One kernel = one whole factorization/solve: the sequential column/row
+recurrences of Cholesky and triangular substitution run INSIDE the kernel
+as VPU instruction streams over VMEM-resident tiles, instead of as XLA
+`fori_loop`s whose every iteration pays per-HLO-op dispatch overhead
+(measured on this chip: a 5-word [22,22] Cholesky costs ~3 ms as an XLA
+loop — ~135 us/column — vs tens of us as one Pallas kernel).
+
+These are the TPU-native equivalents of the reference's Arb kernels
+`approx_cholesky!` and `Arblib.approx_solve_tril!/triu!`
+(ClusteredLowRankSolver.jl src/tools.jl:59-107 and the solve calls
+throughout src/solver.jl). Like `approx_cholesky!`, the Cholesky returns a
+success flag (all pivots strictly positive) instead of throwing.
+
+Design notes (Mosaic constraints shaped the algorithms):
+- values are f32 expansions from :mod:`.expops` (barrier-free, sort-free:
+  Mosaic cannot lower `optimization_barrier` or `sort`);
+- no transposes and no `dynamic_slice` on values inside kernels: rows,
+  columns, and scalars are extracted by MASKED SUM against an iota index
+  (exactly one nonzero per reduction lane, so the plain per-word sum is
+  exact), and the Cholesky rank-1 update reads column j AND row j of the
+  (symmetric) trailing matrix so no transpose is ever formed;
+- batch over the leading [L] axis via the Pallas grid;
+- `interpret=True` (used automatically off-TPU) runs the same kernels
+  through the Pallas interpreter, so CI validates kernel logic without
+  a TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import expops as E
+
+__all__ = ["pl_cholesky_b", "pl_solve_tril_b", "pl_solve_tril_t_b",
+           "stack_words", "unstack_words"]
+
+
+def stack_words(x):
+    """tuple of nw [L, ...] arrays -> [L, nw, ...] (one device array)."""
+    return jnp.stack(x, axis=1)
+
+
+def unstack_words(a):
+    """[L, nw, ...] -> tuple of nw [L, ...] arrays."""
+    return tuple(a[:, w] for w in range(a.shape[1]))
+
+
+def _mask_col(ws, cols, j):
+    """Column j as [n, 1] via masked sum (exact: one nonzero per row)."""
+    return tuple(jnp.sum(jnp.where(cols == j, c, np.float32(0.0)), axis=1, keepdims=True)
+                 for c in ws)
+
+
+def _mask_row(ws, rows, i):
+    """Row i as [1, m] via masked sum."""
+    return tuple(jnp.sum(jnp.where(rows == i, c, np.float32(0.0)), axis=0, keepdims=True)
+                 for c in ws)
+
+
+def _mask_scalar(ws, rows, cols, i, j):
+    """Element (i, j) as [1, 1] via masked sum."""
+    m = (rows == i) & (cols == j)
+    return tuple(jnp.sum(jnp.where(m, c, np.float32(0.0)), axis=(0, 1), keepdims=True)
+                 for c in ws)
+
+
+def _exp_sum_axis0(ws, lo, hi):
+    """Tree-sum an expansion [n, m] over rows lo:hi (static bounds)."""
+    n = hi - lo
+    if n == 1:
+        return tuple(c[lo:lo + 1, :] for c in ws)
+    mid = lo + n // 2
+    return E.exp_add(_exp_sum_axis0(ws, lo, mid), _exp_sum_axis0(ws, mid, hi))
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+@functools.lru_cache(maxsize=None)
+def _chol_call(nw, n, L):
+    def kernel(a_ref, l_ref, ok_ref):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        ws = tuple(a_ref[0, w] for w in range(nw))
+        one11 = jnp.ones((1, 1), jnp.float32)
+        zero11 = jnp.zeros((1, 1), jnp.float32)
+
+        def body(j, carry):
+            ws, ok = carry
+            d = _mask_scalar(ws, rows, cols, j, j)
+            pos = d[0] > 0
+            ok = ok * jnp.where(pos, jnp.float32(1.0), jnp.float32(0.0))
+            d_safe = tuple(jnp.where(pos, c, o)
+                           for c, o in zip(d, (one11,) + (zero11,) * (nw - 1)))
+            rs = E.exp_rsqrt(d_safe)                      # [1,1]
+            rt = E.exp_mul(d_safe, rs)                    # sqrt(d)
+            colw = _mask_col(ws, cols, j)                 # [n,1]
+            roww = _mask_row(ws, rows, j)                 # [1,n]
+            coll = E.exp_mul(colw, rs)
+            rowl = E.exp_mul(roww, rs)
+            belowc = rows[:, :1] > j                      # [n,1]
+            belowr = cols[:1, :] > j                      # [1,n]
+            collb = tuple(jnp.where(belowc, c, np.float32(0.0)) for c in coll)
+            rowlb = tuple(jnp.where(belowr, c, np.float32(0.0)) for c in rowl)
+            upd = E.exp_mul(collb, rowlb)                 # [n,n] outer
+            u = E.exp_sub(ws, upd)
+            mask = belowc & belowr
+            ws = tuple(jnp.where(mask, uc, wc) for uc, wc in zip(u, ws))
+            # final column j: rt at the diagonal, coll below, zero above
+            newcol = tuple(jnp.where(belowc, cb,
+                                     jnp.where(rows[:, :1] == j, rc, np.float32(0.0)))
+                           for cb, rc in zip(collb, rt))
+            ws = tuple(jnp.where(cols == j, nc, wc)
+                       for nc, wc in zip(newcol, ws))
+            return ws, ok
+
+        ws, ok = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), body,
+                                   (ws, jnp.ones((1, 1), jnp.float32)))
+        tril = rows >= cols
+        for w in range(nw):
+            l_ref[0, w] = jnp.where(tril, ws[w], np.float32(0.0))
+        ok_ref[0] = ok
+
+    return pl.pallas_call(
+        kernel,
+        grid=(L,),
+        in_specs=[pl.BlockSpec((1, nw, n, n), lambda i: (i, np.int32(0), np.int32(0), np.int32(0)),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, nw, n, n), lambda i: (i, np.int32(0), np.int32(0), np.int32(0)),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, 1), lambda i: (i, np.int32(0), np.int32(0)),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((L, nw, n, n), jnp.float32),
+                   jax.ShapeDtypeStruct((L, 1, 1), jnp.float32)),
+        interpret=_interpret(),
+    )
+
+
+def pl_cholesky_b(a):
+    """Batched expansion Cholesky: tuple of nw [L, n, n] f32 words ->
+    (L_words tuple, ok [L] bool). One Pallas kernel per class."""
+    nw = len(a)
+    L, n, _ = a[0].shape
+    out, ok = _chol_call(nw, n, L)(stack_words(a))
+    return unstack_words(out), ok[:, 0, 0] > 0.5
+
+
+def _dinv_of(lw, n, nw):
+    """1 / diag(L) as [n, 1], one vectorized Newton chain for all rows."""
+    rrows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    rcols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    diag = tuple(jnp.sum(jnp.where(rrows == rcols, c, np.float32(0.0)), axis=1,
+                         keepdims=True) for c in lw)      # [n,1] exact
+    one = (jnp.ones((n, 1), jnp.float32),) + \
+        (jnp.zeros((n, 1), jnp.float32),) * (nw - 1)
+    return E.exp_div(one, diag)
+
+
+@functools.lru_cache(maxsize=None)
+def _tril_call(nw, n, m, L):
+    def kernel(l_ref, b_ref, x_ref):
+        rowsb = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+        rows1 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        lcols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        lw = tuple(l_ref[0, w] for w in range(nw))
+        bw = tuple(b_ref[0, w] for w in range(nw))
+        dinv = _dinv_of(lw, n, nw)
+        x0 = tuple(jnp.zeros((n, m), jnp.float32) for _ in range(nw))
+
+        def body(i, carry):
+            bw, xw = carry
+            rhs = _mask_row(bw, rowsb, i)                  # [1,m]
+            di = _mask_row(dinv, rows1, i)                 # [1,1]
+            xi = E.exp_mul(rhs, di)                        # [1,m]
+            colw = _mask_col(lw, lcols, i)                 # [n,1]
+            colb = tuple(jnp.where(rows1 > i, c, np.float32(0.0)) for c in colw)
+            upd = E.exp_mul(colb, xi)                      # [n,m]
+            bw = E.exp_sub(bw, upd)
+            xw = tuple(jnp.where(rowsb == i, xc, wc)
+                       for xc, wc in zip(xi, xw))
+            return bw, xw
+
+        _, xw = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), body,
+                                  (bw, x0))
+        for w in range(nw):
+            x_ref[0, w] = xw[w]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(L,),
+        in_specs=[pl.BlockSpec((1, nw, n, n), lambda i: (i, np.int32(0), np.int32(0), np.int32(0)),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, nw, n, m), lambda i: (i, np.int32(0), np.int32(0), np.int32(0)),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, nw, n, m), lambda i: (i, np.int32(0), np.int32(0), np.int32(0)),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, nw, n, m), jnp.float32),
+        interpret=_interpret(),
+    )
+
+
+def pl_solve_tril_b(l, b):
+    """Batched forward substitution L X = B (right-looking column updates:
+    after x_i is known, subtract l[:,i] * x_i from the remaining rhs rows —
+    column access only, no transposes)."""
+    nw = len(l)
+    L, n, _ = l[0].shape
+    m = b[0].shape[2]
+    out = _tril_call(nw, n, m, L)(stack_words(l), stack_words(b))
+    return unstack_words(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _tril_t_call(nw, n, m, L):
+    def kernel(l_ref, b_ref, x_ref):
+        rowsb = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+        rows1 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        lcols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        lw = tuple(l_ref[0, w] for w in range(nw))
+        bw = tuple(b_ref[0, w] for w in range(nw))
+        dinv = _dinv_of(lw, n, nw)
+        x0 = tuple(jnp.zeros((n, m), jnp.float32) for _ in range(nw))
+
+        def body(t, xw):
+            i = jnp.int32(n - 1) - t
+            # rhs_i = b_i - sum_{k>i} (L^T)[i,k] x_k = b_i - sum_k l[k,i] x[k]
+            colw = _mask_col(lw, lcols, i)                 # [n,1]
+            colb = tuple(jnp.where(rows1 > i, c, np.float32(0.0)) for c in colw)
+            prod = E.exp_mul(colb, xw)                     # [n,m]
+            s = _exp_sum_axis0(prod, 0, n)                 # [1,m]
+            bi = _mask_row(bw, rowsb, i)
+            rhs = E.exp_sub(bi, s)
+            di = _mask_row(dinv, rows1, i)
+            xi = E.exp_mul(rhs, di)
+            xw = tuple(jnp.where(rowsb == i, xc, wc)
+                       for xc, wc in zip(xi, xw))
+            return xw
+
+        xw = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), body, x0)
+        for w in range(nw):
+            x_ref[0, w] = xw[w]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(L,),
+        in_specs=[pl.BlockSpec((1, nw, n, n), lambda i: (i, np.int32(0), np.int32(0), np.int32(0)),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, nw, n, m), lambda i: (i, np.int32(0), np.int32(0), np.int32(0)),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, nw, n, m), lambda i: (i, np.int32(0), np.int32(0), np.int32(0)),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, nw, n, m), jnp.float32),
+        interpret=_interpret(),
+    )
+
+
+def pl_solve_tril_t_b(l, b):
+    """Batched backward substitution L^T X = B given L (inner-product form
+    with column access of L: (L^T)[i, k] = l[k, i])."""
+    nw = len(l)
+    L, n, _ = l[0].shape
+    m = b[0].shape[2]
+    out = _tril_t_call(nw, n, m, L)(stack_words(l), stack_words(b))
+    return unstack_words(out)

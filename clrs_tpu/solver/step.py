@@ -143,10 +143,10 @@ def _dd_scale(x, a):
 # batched linalg kernels: one instance per size class, vmapped over the
 # leading [L] block axis (the reference's per-(j,l) threaded loops,
 # src/threadinginfo.jl:59-102)
-_bchol = jax.vmap(dl.dd_cholesky)
+_bchol = dl.b_cholesky
 _bmm = jax.vmap(dl.dd_matmul)
-_bsolve_tril = jax.vmap(dl.dd_solve_tril)
-_bsolve_cholesky = jax.vmap(dl.dd_solve_cholesky)
+_bsolve_tril = dl.b_solve_tril
+_bsolve_cholesky = dl.b_solve_cholesky
 
 
 @dataclasses.dataclass
@@ -730,16 +730,16 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
         cholSs, LinvBs = [], []
         for j, cl in enumerate(ds.clusters):
             S = _schur_cluster(cl, Xinv[j], Y[j], Xinv_s[j], Ys[j])
-            L, okb = dl.dd_cholesky(S)
+            L, okb = dl.s_cholesky(S)
             ok = ok & okb
             ok_S = ok_S & okb
-            LinvB = dl.dd_solve_tril(L, cl.B)
+            LinvB = dl.s_solve_tril(L, cl.B)
             cholSs.append(L)
             LinvBs.append(LinvB)
         Q = dl.dd_zeros((ds.nfree, ds.nfree), nw, dtype=dt)
         for LinvB in LinvBs:
             Q = dd_add(Q, dl.dd_matmul(dl.dd_transpose(LinvB), LinvB))
-        cholQ, okq = dl.dd_cholesky(Q)
+        cholQ, okq = dl.s_cholesky(Q)
         ok = ok & okq
 
         # residuals for the current point (solver.jl:413-417)
@@ -772,18 +772,18 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
             # 3-stage triangular solve (solver.jl:1527-1582)
             temp_x, temp_y = [], []
             for j, cl in enumerate(ds.clusters):
-                tx = dl.dd_solve_tril(cholSs[j], _col(rhs_x[j]))
+                tx = dl.s_solve_tril(cholSs[j], _col(rhs_x[j]))
                 ty = dl.dd_matmul(dl.dd_transpose(LinvBs[j]), tx)
                 temp_x.append(tx)
                 temp_y.append(ty)
             dy = _col(pres)
             for ty in temp_y:
                 dy = dd_sub(dy, ty)
-            dy = dl.dd_solve_cholesky(cholQ, dy)
+            dy = dl.s_solve_cholesky(cholQ, dy)
             dx = []
             for j, cl in enumerate(ds.clusters):
                 t = dd_add(temp_x[j], dl.dd_matmul(LinvBs[j], dy))
-                dxj = dl.dd_solve_triu(dl.dd_transpose(cholSs[j]), t)
+                dxj = dl.s_solve_tril_t(cholSs[j], t)
                 dx.append(_col0(dxj))
             dy = _col0(dy)
             # dX = sum_i dx_i A_i + P (solver.jl:1585-1594)

@@ -79,15 +79,15 @@ def phase_breakdown(ds, state, reps: int = 3) -> Dict[str, float]:
     def kkt(Ss):
         cholSs, LinvBs = [], []
         for j, cl in enumerate(ds.clusters):
-            L, _ = dl.dd_cholesky(Ss[j])
+            L, _ = dl.s_cholesky(Ss[j])
             cholSs.append(L)
-            LinvBs.append(dl.dd_solve_tril(L, cl.B))
+            LinvBs.append(dl.s_solve_tril(L, cl.B))
         Q = dl.dd_zeros((ds.nfree, ds.nfree), nw, dtype=dt)
         from ..dd.core import dd_add
 
         for LinvB in LinvBs:
             Q = dd_add(Q, dl.dd_matmul(dl.dd_transpose(LinvB), LinvB))
-        cholQ, _ = dl.dd_cholesky(Q)
+        cholQ, _ = dl.s_cholesky(Q)
         return cholSs, LinvBs, cholQ
 
     cholSs, LinvBs, cholQ = kkt(Ss)

@@ -1,0 +1,162 @@
+"""Mosaic-safe expansion primitives + Pallas linalg kernels.
+
+Validates the barrier-free/sort-free f32-expansion ops (clrs_tpu.dd.expops)
+against exact Fractions, and the Pallas kernels (clrs_tpu.dd.pallas_linalg)
+against the XLA-loop linalg they replace — on CPU via the Pallas
+interpreter; the TPU path was verified bit-identical on-chip (same tests,
+real kernels)."""
+
+from fractions import Fraction
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clrs_tpu.dd import expops as E
+from clrs_tpu.dd import linalg as dl
+from clrs_tpu.dd import pallas_linalg as P
+from clrs_tpu.dd.core import dd_add_f64
+
+NW = 5
+
+
+def mk(vals_f64, nw=NW):
+    h = np.asarray(vals_f64, np.float64)
+    l = np.zeros_like(h)
+    ws = []
+    for _ in range(nw):
+        w = (h + l).astype(np.float32)
+        ws.append(jnp.asarray(w))
+        h, l = dd_add_f64((h, l), -w.astype(np.float64))
+    return tuple(ws)
+
+
+def exact(ws):
+    flat = [np.asarray(c, np.float64).reshape(-1) for c in ws]
+    return [sum(Fraction(c[i]) for c in flat) for i in range(flat[0].size)]
+
+
+def test_exp_add_across_magnitude_gaps():
+    """Word-wise add must stay accurate for operands 2^k apart — the case
+    that defeats unsorted renormalization (core.py:123 documents the
+    failure the presort there fixes; this construction needs no sort)."""
+    rng = np.random.default_rng(0)
+    ks = np.arange(-40, 41) * 3
+    x = rng.standard_normal(ks.size)
+    y = rng.standard_normal(ks.size) * (2.0 ** ks.astype(np.float64))
+    X, Y = mk(x), mk(y)
+    S = jax.jit(E.exp_add)(X, Y)
+    ex, ey, es = exact(X), exact(Y), exact(S)
+    for i in range(ks.size):
+        t = ex[i] + ey[i]
+        assert abs(es[i] - t) <= abs(t) * Fraction(1, 10 ** 33)
+
+
+def test_exp_mul_div_rsqrt_fraction_accuracy():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(64) * 10.0 ** rng.integers(-3, 3, 64)
+    y = rng.standard_normal(64) * 10.0 ** rng.integers(-3, 3, 64)
+    X, Y = mk(x), mk(y)
+    ex, ey = exact(X), exact(Y)
+    P_ = jax.jit(E.exp_mul)(X, Y)
+    ep = exact(P_)
+    for i in range(64):
+        assert abs(ep[i] - ex[i] * ey[i]) <= abs(ex[i] * ey[i]) \
+            * Fraction(1, 10 ** 30)
+    D = jax.jit(E.exp_div)(X, Y)
+    ed = exact(D)
+    for i in range(64):
+        assert abs(ed[i] - ex[i] / ey[i]) <= abs(ex[i] / ey[i]) \
+            * Fraction(1, 10 ** 30)
+    A = mk(np.abs(x) + 0.5)
+    ea = exact(A)
+    R = jax.jit(E.exp_rsqrt)(A)
+    er = exact(R)
+    for i in range(64):
+        # compare r^2 to 1/x (avoids exact square roots)
+        assert abs(er[i] * er[i] - 1 / ea[i]) <= (1 / ea[i]) \
+            * Fraction(1, 10 ** 30)
+
+
+def test_two_prod_mask_split_exact():
+    """The bit-mask split two_prod is error-free on f32 (and immune to FMA
+    contraction by construction: all half-products are exact)."""
+    rng = np.random.default_rng(2)
+    # products stay in the exactness window: the EFT error term is order
+    # eps^2 * |ab| and must not sink below the f32 subnormal floor
+    a = jnp.asarray(rng.standard_normal(512) * 10.0 **
+                    rng.integers(-8, 8, 512), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(512) * 10.0 **
+                    rng.integers(-8, 8, 512), jnp.float32)
+    p, e = jax.jit(E.two_prod)(a, b)
+    pa, ea_ = np.asarray(p, np.float64), np.asarray(e, np.float64)
+    aa, ba = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    for i in range(0, 512, 7):
+        assert Fraction(pa[i]) + Fraction(ea_[i]) == \
+            Fraction(aa[i]) * Fraction(ba[i])
+
+
+def _mk_spd(L, n, nw=3, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(L):
+        A = rng.standard_normal((n, n))
+        out.append(A @ A.T + n * np.eye(n))
+    h = np.stack(out)
+    ws = []
+    for _ in range(nw):
+        w = h.astype(np.float32)
+        ws.append(jnp.asarray(w))
+        h = h - w.astype(np.float64)
+    return tuple(ws)
+
+
+def _val(ws):
+    return sum(np.asarray(c, np.float64) for c in ws)
+
+
+def test_pallas_cholesky_matches_xla_loop():
+    # nw=3, small n: the Pallas interpreter (CPU CI) is slow; the real
+    # kernels were verified bit-identical on-chip at nw=5, n=22
+    A = _mk_spd(1, 6)
+    Lp, okp = P.pl_cholesky_b(A)
+    Lr, okr = jax.vmap(dl.dd_cholesky)(A)
+    assert np.all(np.asarray(okp)) and bool(np.all(np.asarray(okr)))
+    assert np.max(np.abs(_val(Lp) - _val(Lr))) < 1e-18
+
+
+def test_pallas_cholesky_flags_indefinite():
+    A = _mk_spd(2, 4)
+    A = tuple(c.at[1, 3, 3].set(jnp.float32(-50.0) if w == 0 else 0.0)
+              for w, c in enumerate(A))
+    _, ok = P.pl_cholesky_b(A)
+    ok = np.asarray(ok)
+    assert bool(ok[0]) and not bool(ok[1])
+
+
+def test_pallas_solves_match_xla_loop():
+    A = _mk_spd(1, 6)
+    B = _mk_spd(1, 6, seed=3)
+    Lp, _ = P.pl_cholesky_b(A)
+    X1 = P.pl_solve_tril_b(Lp, B)
+    X2 = jax.vmap(dl.dd_solve_tril)(Lp, B)
+    assert np.max(np.abs(_val(X1) - _val(X2))) < 1e-15
+    X3 = P.pl_solve_tril_t_b(Lp, B)
+    X4 = jax.vmap(dl.dd_solve_triu)(dl.dd_transpose(Lp), B)
+    assert np.max(np.abs(_val(X3) - _val(X4))) < 1e-15
+
+
+@pytest.mark.slow
+def test_batched_frontends_dispatch():
+    """The b_/s_ front-ends give the same results as the raw loops on this
+    backend (off-TPU they ARE the raw loops; on-TPU they are the kernels,
+    checked bit-identical on-chip)."""
+    A = _mk_spd(2, 5)
+    L1, ok1 = dl.b_cholesky(A)
+    L2, ok2 = jax.vmap(dl.dd_cholesky)(A)
+    assert np.allclose(_val(L1), _val(L2)) and np.array_equal(
+        np.asarray(ok1), np.asarray(ok2))
+    S = tuple(c[0] for c in A)
+    L3, ok3 = dl.s_cholesky(S)
+    assert np.allclose(_val(tuple(c[None] for c in L3))[0], _val(L2)[0])

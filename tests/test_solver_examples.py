@@ -63,3 +63,58 @@ def test_cohnelkies_sphere_packing_d3():
         8, 3, verbose=False, omega_p=100.0, omega_d=100.0,
         dual_error_threshold=1e-10, primal_error_threshold=1e-10)
     assert abs(float(objvalue(problem, primalsol)) - 0.3255058828303) < 1e-8
+
+
+@pytest.mark.slow
+def test_cohnelkies_sphere_packing_d15():
+    """THE headline oracle: cohnelkies(8,15) ~ pi^4/384 at atol 1e-4
+    (reference test/runtests_solver.jl:19-22), at the high precision tier
+    (quad-word f64, the reference's prec>=256 regime). ~8 min cold,
+    ~1 min with a warm XLA cache."""
+    import math
+
+    from spherepacking import cohnelkies
+
+    problem, status, dualsol, primalsol, code = cohnelkies(
+        8, 15, verbose=False, prec=212, omega_p=100.0, omega_d=100.0,
+        duality_gap_threshold=1e-7,
+        dual_error_threshold=1e-20, primal_error_threshold=1e-20)
+    assert code == 0
+    assert optimal(status)
+    assert abs(float(objvalue(problem, primalsol)) - math.pi ** 4 / 384) < 1e-4
+
+
+@pytest.mark.slow
+def test_nsphere_packing_d15():
+    """Nsphere_packing(8,15,[1/2,1/2],2) ~ pi^4/384 at atol 1e-4
+    (reference test/runtests_solver.jl:21-22): the multi-radius Block
+    subblock formulation must reproduce the single-radius bound. The
+    dominant cost is XLA-compiling the many distinct cluster shapes
+    (~25 min cold, ~3 min with a warm cache)."""
+    import math
+
+    from spherepacking import Nsphere_packing
+
+    problem, status, dualsol, primalsol, code = Nsphere_packing(
+        8, 15, [Fraction(1, 2), Fraction(1, 2)], 2, verbose=False, prec=212,
+        omega_p=100.0, omega_d=100.0, duality_gap_threshold=1e-7,
+        dual_error_threshold=1e-20, primal_error_threshold=1e-20)
+    assert code == 0
+    assert optimal(status)
+    assert abs(float(objvalue(problem, primalsol)) - math.pi ** 4 / 384) < 1e-4
+
+
+@pytest.mark.slow
+def test_cohnelkies_d3_f32x8_tier():
+    """The f32-expansion high tier (8 x f32 words, the TPU-sound analogue
+    of the quad-word tier) solves a Cohn-Elkies instance end to end; int8
+    limb GEMMs and f32 EFTs are IEEE-exact on CPU too, so this exercises
+    the exact TPU code path in CI."""
+    from spherepacking import cohnelkies
+
+    problem, status, dualsol, primalsol, code = cohnelkies(
+        8, 3, verbose=False, prec=212, substrate="f32",
+        omega_p=100.0, omega_d=100.0,
+        dual_error_threshold=1e-10, primal_error_threshold=1e-10)
+    assert code == 0
+    assert abs(float(objvalue(problem, primalsol)) - 0.3255058828303) < 1e-8
