@@ -426,9 +426,26 @@ def qd_neg(x):
     return tuple(-c for c in x)
 
 
+def _route_expops(x):
+    """f32 expansions on the real TPU route to the Mosaic-safe barrier-free
+    primitives (expops.py): same accuracy contract (Fraction-validated),
+    ~2x fewer HLO ops, and no argsort presort. Off-TPU keeps the barriered
+    forms: the CPU LLVM pipeline needs the AVX cap + barriers story
+    (NOTES_TPU_NUMERICS.md), and compiles the expops graphs pathologically
+    slowly at large shapes."""
+    import jax
+
+    return (len(x) > 2 and _is_f32(x) and _is_jax(x[0])
+            and jax.default_backend() == "tpu")
+
+
 def dd_add(x, y):
     """Accurate multi-word addition (dispatches on word count)."""
     if len(x) != 2:
+        if _route_expops(x):
+            from . import expops
+
+            return expops.exp_add(x, y)
         return qd_add(x, y)
     s1, s2 = two_sum(x[0], y[0])
     t1, t2 = two_sum(x[1], y[1])
@@ -457,6 +474,10 @@ def dd_sub(x, y):
 
 def dd_mul(x, y):
     if len(x) != 2:
+        if _route_expops(x):
+            from . import expops
+
+            return expops.exp_mul(x, y)
         return qd_mul(x, y)
     p, e = two_prod(x[0], y[0])
     e = e + (x[0] * y[1] + x[1] * y[0])

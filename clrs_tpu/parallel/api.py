@@ -1,0 +1,155 @@
+"""Multi-chip sharding of the IPM over a jax.sharding.Mesh.
+
+The framework's shard axes (SURVEY.md section 2.10/5; the reference is
+single-process threaded, src/threadinginfo.jl — these axes are the TPU-mesh
+replacements for its `Threads.@threads for (j,l)` loops):
+
+- the size-class BLOCK axis [L]: the compiler batches same-shaped PSD
+  blocks of a cluster into [L, n, n] classes (solver/step.py), which is
+  exactly the reference's (j, l) block-parallel axis. Sharding it makes
+  every per-block kernel (chol(X), X^-1, bilinear panels, R, updates,
+  step-length solves) device-local; XLA inserts a psum where the class
+  axis is contracted — the Schur-assembly term reduction and the trace_A
+  sums (the reference's serial cross-thread reductions,
+  src/solver.jl:907-909, 1264-1271).
+- the scalar-pack axis [Bs]: all 1x1 blocks of a cluster (LP cones),
+  data-parallel the same way.
+
+Per-cluster Schur/chol(S)/L^-1 B stay cluster-local by construction (the
+clusters are a Python-level loop, each a separate subgraph); the only
+cross-cluster coupling is the free-variable reduction
+Q = sum_j (L^-1 B)_j^T (L^-1 B)_j (src/solver.jl:1264-1271) and the scalar
+reductions (mu, error maxima, min step-length eigenvalue,
+src/solver.jl:1684-1686), matching the reference's communication structure.
+
+Only axes whose size is a multiple of the mesh size are sharded (GSPMD
+device_put requires divisibility); :func:`shard_device_sdp` /
+:func:`shard_state` RAISE if that leaves nothing sharded — a dryrun that
+silently falls back to full replication reports nothing about sharding.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_device_sdp", "shard_state",
+           "multi_cluster_test_problem", "BLOCK_AXIS"]
+
+BLOCK_AXIS = "blk"
+
+
+def make_mesh(n_devices: int, axis: str = BLOCK_AXIS) -> Mesh:
+    """1-D device mesh over the first ``n_devices`` devices (falls back to
+    the CPU backend's devices when the default backend has too few — the
+    virtual-device dryrun path)."""
+    devs = jax.devices()
+    if len(devs) < n_devices:
+        devs = jax.devices("cpu")
+    if len(devs) < n_devices:
+        raise ValueError(f"need {n_devices} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:n_devices]), (axis,))
+
+
+def _put(words, sharding):
+    return tuple(jax.device_put(c, sharding) for c in words)
+
+
+def shard_device_sdp(ds, mesh: Mesh, axis: str = BLOCK_AXIS) -> int:
+    """Shard the DeviceSDP constants in place along the class block axis
+    and the scalar-pack axis. Returns the number of sharded class/pack
+    axes and raises if it is zero (silent full replication)."""
+    n = mesh.shape[axis]
+
+    def spec(ndim):
+        return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+    repl = NamedSharding(mesh, P())
+    sharded = 0
+    for cl in ds.clusters:
+        for k in cl.classes:
+            if k.L % n == 0 and k.L >= n > 1:
+                k.C = _put(k.C, spec(3))
+                k.maskd = jax.device_put(k.maskd, spec(3))
+                k.maskdiag = jax.device_put(k.maskdiag, spec(2))
+                if k.kind == "lowrank":
+                    k.V = _put(k.V, spec(3))
+                    k.lam = _put(k.lam, spec(3))
+                    k.li = jax.device_put(k.li, spec(3))
+                    k.ri = jax.device_put(k.ri, spec(3))
+                    k.tmask = jax.device_put(k.tmask, spec(3))
+                    k.Ul = _put(k.Ul, spec(3))
+                    k.Ur = _put(k.Ur, spec(3))
+                else:
+                    k.A = _put(k.A, spec(4))
+                sharded += 1
+        if cl.s_nb and cl.s_nb % n == 0 and cl.s_nb >= n > 1:
+            cl.sa = _put(cl.sa, spec(2))
+            cl.sC = _put(cl.sC, spec(1))
+            cl.smask = jax.device_put(cl.smask, spec(1))
+            sharded += 1
+        cl.B = _put(cl.B, repl)
+        cl.c = _put(cl.c, repl)
+    if sharded == 0:
+        raise ValueError(
+            "no class or scalar-pack axis was shardable over this mesh "
+            f"(mesh size {n}); refusing to dryrun a fully replicated model")
+    return sharded
+
+
+def shard_state(ds, state, mesh: Mesh, axis: str = BLOCK_AXIS):
+    """Shard an IPM state pytree consistently with shard_device_sdp."""
+    n = mesh.shape[axis]
+
+    def spec(ndim):
+        return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+    repl = NamedSharding(mesh, P())
+    out = {
+        "x": [_put(xj, repl) for xj in state["x"]],
+        "y": _put(state["y"], repl),
+        "X": [], "Y": [], "Xs": [], "Ys": [],
+    }
+    for j, cl in enumerate(ds.clusters):
+        Xc, Yc = [], []
+        for ki, k in enumerate(cl.classes):
+            s = spec(3) if (k.L % n == 0 and k.L >= n > 1) else repl
+            Xc.append(_put(state["X"][j][ki], s))
+            Yc.append(_put(state["Y"][j][ki], s))
+        out["X"].append(Xc)
+        out["Y"].append(Yc)
+        s = spec(1) if (cl.s_nb and cl.s_nb % n == 0 and cl.s_nb >= n > 1) \
+            else repl
+        out["Xs"].append(_put(state["Xs"][j], s))
+        out["Ys"].append(_put(state["Ys"][j], s))
+    return out
+
+
+def multi_cluster_test_problem(n_clusters: int = 4, n_blocks: int = 8):
+    """A small SDP with ``n_clusters`` independent clusters, each holding
+    ``n_blocks`` same-size 2x2 PSD blocks (one size class of L = n_blocks),
+    coupled ONLY through a shared free variable — the communication
+    topology of the reference's compiled form in miniature: block-parallel
+    work inside clusters, a single cross-cluster reduction through Q.
+
+    Used by the multichip dryrun and the sharding equivalence tests.
+    """
+    from ..model.problem import Constraint, Maximize, Objective, Problem
+
+    h = Fraction(1, 2)
+    obj_mats = {}
+    cons = []
+    for c in range(n_clusters):
+        names = [f"X{c}_{b}" for b in range(n_blocks)]
+        for nm in names:
+            obj_mats[nm] = [[-1, 0], [0, -1]]
+        a1 = {nm: [[1, h], [h, 0]] for nm in names}
+        a2 = {nm: [[0, h], [h, 1]] for nm in names}
+        cons.append(Constraint(Fraction(3 + c, 2), a1, {"y": 1}))
+        cons.append(Constraint(Fraction(4 + c, 3), a2, {"y": -1}))
+    obj = Objective(0, obj_mats, {"y": Fraction(1, 10)})
+    return Problem(Maximize(obj), cons)

@@ -370,6 +370,22 @@ def _panel_b(k: _DevClass, Mb):
     return _bmm(dl.dd_transpose_b(k.V), MV)
 
 
+def _panels_xy(k: _DevClass, Xb, Yb):
+    """V^T X^-1 V and V^T Y V as ONE batched panel pair: the two operands
+    are stacked on the class axis so the GEMM elementwise machinery (limb
+    extraction, cascade) runs once over [2L] instead of twice over [L].
+    These panels are computed once per iteration and shared by the Schur
+    assembly and by trace_A for the d-residual (the reference reuses its
+    bilinear pairings the same way, solver.jl:1121-1170)."""
+    M2 = tuple(jnp.concatenate([a, b], 0) for a, b in zip(Xb, Yb))
+    V2 = tuple(jnp.concatenate([c, c], 0) for c in k.V)
+    MV = _bmm(M2, V2)
+    P2 = _bmm(dl.dd_transpose_b(V2), MV)
+    PX = tuple(c[:k.L] for c in P2)
+    PY = tuple(c[k.L:] for c in P2)
+    return PX, PY
+
+
 def _gather_b(PM, li, ri):
     """PM[l, li[l,p,t], ri[l,p,t]] -> dd [L, P, T]."""
     L = li.shape[0]
@@ -377,12 +393,15 @@ def _gather_b(PM, li, ri):
     return tuple(c[lidx, li, ri] for c in PM)
 
 
-def _trace_A_cluster(cl: _DevCluster, Zs, Zsc):
-    """[<A_p, Z>]_p for all rows of one cluster (solver.jl:1289-1366)."""
+def _trace_A_cluster(cl: _DevCluster, Zs, Zsc, panels=None):
+    """[<A_p, Z>]_p for all rows of one cluster (solver.jl:1289-1366).
+    ``panels`` (optional, per class) short-circuits the V^T Z V pairing
+    when the caller already holds it."""
     tot = dl.dd_zeros((cl.nrows,), cl.nw, dtype=cl.dtype)
-    for k, Z in zip(cl.classes, Zs):
+    for ki, (k, Z) in enumerate(zip(cl.classes, Zs)):
         if k.kind == "lowrank":
-            PZ = _panel_b(k, Z)                       # [L, m, m]
+            PZ = panels[ki] if panels is not None and panels[ki] is not None \
+                else _panel_b(k, Z)                   # [L, m, m]
             g = _gather_b(PZ, k.li, k.ri)             # [L, P, T]
             v = dd_mul(k.lam, g)
             v = _dd_scale(v, k.tmask)
@@ -425,14 +444,18 @@ def _weighted_A_cluster(cl: _DevCluster, a):
     return out, out_s
 
 
-def _schur_cluster(cl: _DevCluster, Xinvs, Ys, Xinv_s, Y_s):
-    """S^j (upper triangle mirrored), solver.jl:1062-1226."""
+def _schur_cluster(cl: _DevCluster, Xinvs, Ys, Xinv_s, Y_s, panels=None):
+    """S^j (upper triangle mirrored), solver.jl:1062-1226. ``panels``
+    (optional, per class) supplies precomputed (V^T X^-1 V, V^T Y V)."""
     P = cl.nrows
     S = dl.dd_zeros((P, P), cl.nw, dtype=cl.dtype)
-    for k, Xinv, Y in zip(cl.classes, Xinvs, Ys):
+    for ki, (k, Xinv, Y) in enumerate(zip(cl.classes, Xinvs, Ys)):
         if k.kind == "lowrank":
-            PX = _panel_b(k, Xinv)                    # [L, m, m]
-            PYT = dl.dd_transpose_b(_panel_b(k, Y))
+            if panels is not None and panels[ki] is not None:
+                PX, PY = panels[ki]
+            else:
+                PX, PY = _panel_b(k, Xinv), _panel_b(k, Y)
+            PYT = dl.dd_transpose_b(PY)
             # S_pq += sum_{l,t1,t2} lam[l,p,t1] lam[l,q,t2]
             #         * PX[l, li[l,p,t1], ri[l,q,t2]]
             #         * PY[l, li[l,q,t2], ri[l,p,t1]]
@@ -504,10 +527,11 @@ def _max_abs_all(Ms, Ms_s):
     return v
 
 
-def _residuals(ds: DeviceSDP, state):
+def _residuals(ds: DeviceSDP, state, panelsY=None):
     """P = sum_i x_i A_i - X - sign*C;  d = c - <A_*,Y> - By;
     p = sign*b - B^T x  (solver.jl:882-918). P is masked to the real block
-    area (padding must stay inert)."""
+    area (padding must stay inert). ``panelsY`` (optional, [j][ki]) reuses
+    the V^T Y V pairings already computed for the Schur assembly."""
     x, y = state["x"], state["y"]
     Pres, Pres_s, dres = [], [], []
     for j, cl in enumerate(ds.clusters):
@@ -523,7 +547,9 @@ def _residuals(ds: DeviceSDP, state):
             Pres_s.append(dl.dd_zeros((0,), ds.nw, dtype=ds.dtype))
         By = dl.dd_matmul(cl.B, _col(y))
         d_j = dd_sub(dd_sub(cl.c, _col0(By)),
-                     _trace_A_cluster(cl, state["Y"][j], state["Ys"][j]))
+                     _trace_A_cluster(cl, state["Y"][j], state["Ys"][j],
+                                      panels=None if panelsY is None
+                                      else panelsY[j]))
         dres.append(d_j)
     pres = _dd_scale(ds.b, ds.sign)
     for j, cl in enumerate(ds.clusters):
@@ -567,48 +593,71 @@ def _errors(Pres, Pres_s, pres, dres):
     return dual_error, primal_error, P_error, p_error
 
 
-def _step_length(ds, state, keyM, keyMs, dM, dMs, gamma, eig_safety):
-    """max alpha keeping M + alpha dM PSD, via min eig of L^-1 dM L^-T
-    (solver.jl:1618-1693), batched per class. Returns (alpha_f64, chol_ok).
-    Padded area: M diagonal is 1 and dM is 0 there, so padding contributes
-    zero eigenvalues, which never tighten alpha below its real value."""
-    min_eig = jnp.float64(jnp.inf)
+def _eig_lo_bound(W2, eig_safety):
+    """Safety-margined lower eigenvalue bounds of symmetrized L^-1 dM L^-T
+    batches (float64 eigh like the reference's Float64 Lanczos,
+    solver.jl:1659; f32 on TPU, where f64 lapack is unavailable)."""
+    A64 = W2[0].astype(jnp.float64)
+    for c in W2[1:]:
+        A64 = A64 + c.astype(jnp.float64)
+    A64 = 0.5 * (A64 + jnp.swapaxes(A64, -1, -2))
+    if jax.default_backend() == "tpu":
+        eigs = jnp.linalg.eigvalsh(
+            A64.astype(jnp.float32)).astype(jnp.float64)
+        safety = 1e-5
+    else:
+        eigs = jnp.linalg.eigvalsh(A64)
+        safety = eig_safety
+    lo = eigs[:, 0]
+    return lo - safety * (1.0 + jnp.abs(lo))
+
+
+def _step_lengths(ds, state, dX, dXs, dY, dYs, cholX, gamma, eig_safety):
+    """(alpha_d, alpha_p) = max steps keeping X + a dX and Y + a dY PSD,
+    via min eig of L^-1 dM L^-T (solver.jl:1618-1693). chol(X) is REUSED
+    from the X^-1 phase (the reference refactors it too), and the X/Y
+    triangular solves + eigensolves run as ONE batched kernel over [2L]
+    (the two sides are independent until the final minima). Padded area:
+    M diagonal is 1 and dM is 0 there, so padding contributes zero
+    eigenvalues, which never tighten alpha below its real value."""
+    min_d = jnp.float64(jnp.inf)
+    min_p = jnp.float64(jnp.inf)
     ok = jnp.bool_(True)
+
+    def scalar_min(cur, Mb, dMb, mask):
+        e = (_f64sum(dd_take(dMb, slice(None), 0, 0))
+             / _f64sum(dd_take(Mb, slice(None), 0, 0)))
+        e = jnp.where(mask > 0, e, jnp.inf)
+        return jnp.minimum(cur, jnp.min(e))
+
     for j, cl in enumerate(ds.clusters):
         for ki, k in enumerate(cl.classes):
-            M, dMb = state[keyM][j][ki], dM[j][ki]
+            Xb, Yb = state["X"][j][ki], state["Y"][j][ki]
+            dXb, dYb = dX[j][ki], dY[j][ki]
             if k.n == 1:
-                e = (_f64sum(dd_take(dMb, slice(None), 0, 0))
-                     / _f64sum(dd_take(M, slice(None), 0, 0)))
-                e = jnp.where(k.maskdiag[:, 0] > 0, e, jnp.inf)
-                min_eig = jnp.minimum(min_eig, jnp.min(e))
+                min_d = scalar_min(min_d, Xb, dXb, k.maskdiag[:, 0])
+                min_p = scalar_min(min_p, Yb, dYb, k.maskdiag[:, 0])
                 continue
-            Lc, okb = _bchol(M)
+            Ly, okb = _bchol(Yb)
             ok = ok & jnp.all(okb)
-            W = _bsolve_tril(Lc, dMb)
-            W2 = _bsolve_tril(Lc, dl.dd_transpose_b(W))
-            A64 = W2[0].astype(jnp.float64)
-            for c in W2[1:]:
-                A64 = A64 + c.astype(jnp.float64)
-            A64 = 0.5 * (A64 + jnp.swapaxes(A64, -1, -2))
-            # float64 eigh like the reference's Float64 Lanczos
-            # (solver.jl:1659); f32 on TPU, where f64 lapack is unavailable.
-            if jax.default_backend() == "tpu":
-                eigs = jnp.linalg.eigvalsh(
-                    A64.astype(jnp.float32)).astype(jnp.float64)
-                safety = 1e-5
-            else:
-                eigs = jnp.linalg.eigvalsh(A64)
-                safety = eig_safety
-            lo = eigs[:, 0]
-            min_eig = jnp.minimum(
-                min_eig, jnp.min(lo - safety * (1.0 + jnp.abs(lo))))
+            L2 = tuple(jnp.concatenate([a, b], 0)
+                       for a, b in zip(cholX[j][ki], Ly))
+            dM2 = tuple(jnp.concatenate([a, b], 0) for a, b in zip(dXb, dYb))
+            W = _bsolve_tril(L2, dM2)
+            W2 = _bsolve_tril(L2, dl.dd_transpose_b(W))
+            lo = _eig_lo_bound(W2, eig_safety)
+            min_d = jnp.minimum(min_d, jnp.min(lo[:k.L]))
+            min_p = jnp.minimum(min_p, jnp.min(lo[k.L:]))
         if cl.s_nb:
-            e = _f64sum(dMs[j]) / _f64sum(state[keyMs][j])
+            e = _f64sum(dXs[j]) / _f64sum(state["Xs"][j])
             e = jnp.where(cl.smask > 0, e, jnp.inf)
-            min_eig = jnp.minimum(min_eig, jnp.min(e))
-    alpha = jnp.where(min_eig > -gamma, jnp.float64(1.0), -gamma / min_eig)
-    return alpha, ok
+            min_d = jnp.minimum(min_d, jnp.min(e))
+            e = _f64sum(dYs[j]) / _f64sum(state["Ys"][j])
+            e = jnp.where(cl.smask > 0, e, jnp.inf)
+            min_p = jnp.minimum(min_p, jnp.min(e))
+    a_d = jnp.where(min_d > -gamma, jnp.float64(1.0), -gamma / min_d)
+    a_p = jnp.where(min_p > -gamma, jnp.float64(1.0), -gamma / min_p)
+    return a_d, a_p, ok
 
 
 def _axpy_state(state, dx, dy, dX, dY, dXs, dYs, alpha_d, alpha_p):
@@ -678,10 +727,11 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
             mu_p = dd_mul(mu, tuple(jnp.where(pd_feas_prev, 0.0, w)
                                     for w in bw))
 
-        # chol(X) and X^-1 per class (solver.jl:387-400, 1117-1119)
-        Xinv, Xinv_s = [], []
+        # chol(X) and X^-1 per class (solver.jl:387-400, 1117-1119);
+        # the factors are kept for the step-length phase (reused there)
+        Xinv, Xinv_s, cholX = [], [], []
         for j, cl in enumerate(ds.clusters):
-            xi = []
+            xi, lc = [], []
             for ki, k in enumerate(cl.classes):
                 Lc, okb = _bchol(X[j][ki])
                 ok = ok & jnp.all(okb)
@@ -691,12 +741,28 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
                               for c in eye)
                 inv = _bsolve_cholesky(Lc, eye_b)
                 xi.append(dl.dd_symmetrize(inv))
+                lc.append(Lc)
             Xinv.append(xi)
+            cholX.append(lc)
             if cl.s_nb:
                 ok = ok & jnp.all(Xs[j][0] > 0)
                 Xinv_s.append(dd_div(_scalar(jnp.ones(cl.s_nb), nw, dt), Xs[j]))
             else:
                 Xinv_s.append(dl.dd_zeros((0,), nw, dtype=dt))
+
+        # XY products (shared by the predictor and corrector R) and the
+        # bilinear pairing panels (shared by Schur and the d-residual)
+        XYs, panels = [], []
+        for j, cl in enumerate(ds.clusters):
+            xyc, pc = [], []
+            for ki, k in enumerate(cl.classes):
+                xyc.append(_bmm(X[j][ki], Y[j][ki]))
+                pc.append(_panels_xy(k, Xinv[j][ki], Y[j][ki])
+                          if k.kind == "lowrank" else None)
+            XYs.append(xyc)
+            panels.append(pc)
+        panelsY = [[None if pc is None else pc[1] for pc in pj]
+                   for pj in panels]
 
         # R = mu I - X Y [- dX dY] (solver.jl:961-983); masked on padding
         def _residual_R(mu_val, corr=None):
@@ -704,7 +770,7 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
             for j, cl in enumerate(ds.clusters):
                 Rc = []
                 for ki, k in enumerate(cl.classes):
-                    XY = _bmm(X[j][ki], Y[j][ki])
+                    XY = XYs[j][ki]
                     eye = dl.dd_eye(k.n, nw, dtype=dt)
                     eye_b = tuple(jnp.broadcast_to(c, (k.L, k.n, k.n))
                                   for c in eye)
@@ -729,7 +795,8 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
         # Schur complement per cluster + KKT decomposition (solver.jl:1229-1287)
         cholSs, LinvBs = [], []
         for j, cl in enumerate(ds.clusters):
-            S = _schur_cluster(cl, Xinv[j], Y[j], Xinv_s[j], Ys[j])
+            S = _schur_cluster(cl, Xinv[j], Y[j], Xinv_s[j], Ys[j],
+                               panels=panels[j])
             L, okb = dl.s_cholesky(S)
             ok = ok & okb
             ok_S = ok_S & okb
@@ -743,7 +810,7 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
         ok = ok & okq
 
         # residuals for the current point (solver.jl:413-417)
-        Pres, Pres_s, pres, dres = _residuals(ds, state)
+        Pres, Pres_s, pres, dres = _residuals(ds, state, panelsY=panelsY)
         dual_error, primal_error, P_error, p_error = _errors(
             Pres, Pres_s, pres, dres)
         pd_feas_now = (dual_error < dual_error_threshold) & \
@@ -812,11 +879,17 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
         # predictor (solver.jl:420-425)
         dx, dy, dX, dY, dXs, dYs = search_direction(R, R_s)
 
-        # corrector mu (solver.jl:429-434)
-        dstate = {"X": dX, "Y": dY, "Xs": dXs, "Ys": dYs}
-        r_num = dd_add(
-            dd_add(_dot_state(ds, state, state), _dot_state(ds, state, dstate)),
-            dd_add(_dot_state(ds, dstate, state), _dot_state(ds, dstate, dstate)))
+        # corrector mu (solver.jl:429-434): r = <X+dX, Y+dY>/(mu K),
+        # ONE trace dot on the summed iterates instead of four (bilinearity)
+        sstate = {
+            "X": [[dd_add(Xb, dXb) for Xb, dXb in zip(Xc, dXc)]
+                  for Xc, dXc in zip(state["X"], dX)],
+            "Y": [[dd_add(Yb, dYb) for Yb, dYb in zip(Yc, dYc)]
+                  for Yc, dYc in zip(state["Y"], dY)],
+            "Xs": [dd_add(a, b) for a, b in zip(state["Xs"], dXs)],
+            "Ys": [dd_add(a, b) for a, b in zip(state["Ys"], dYs)],
+        }
+        r_num = _dot_state(ds, sstate, sstate)
         r_val = _f64sum(r_num) / (_f64sum(mu) * K)
         beta = jnp.where(r_val < 1.0, r_val ** 2, r_val)
         beta_c = jnp.where(pd_feas_now,
@@ -829,9 +902,9 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
         dx, dy, dX, dY, dXs, dYs = search_direction(Rc, Rc_s)
 
         # step lengths (solver.jl:460-465)
-        alpha_d, ok_a1 = _step_length(ds, state, "X", "Xs", dX, dXs, gamma, eig_safety)
-        alpha_p, ok_a2 = _step_length(ds, state, "Y", "Ys", dY, dYs, gamma, eig_safety)
-        ok = ok & ok_a1 & ok_a2
+        alpha_d, alpha_p, ok_a = _step_lengths(
+            ds, state, dX, dXs, dY, dYs, cholX, gamma, eig_safety)
+        ok = ok & ok_a
         if safe_step:
             a = jnp.minimum(alpha_p, alpha_d)
             alpha_p = jnp.where(pd_feas_now, a, alpha_p)

@@ -128,7 +128,16 @@ def phase_breakdown(ds, state, reps: int = 3) -> Dict[str, float]:
               for j, cl in enumerate(ds.clusters)]
         dXs = [_st._dd_scale(state["Xs"][j], 0.01)
                for j, cl in enumerate(ds.clusters)]
-        return _st._step_length(ds, state, "X", "Xs", dX, dXs, 0.9, 1e-12)
+        dY = [[_st._dd_scale(state["Y"][j][ki], 0.01)
+               for ki in range(len(cl.classes))]
+              for j, cl in enumerate(ds.clusters)]
+        dYs = [_st._dd_scale(state["Ys"][j], 0.01)
+               for j, cl in enumerate(ds.clusters)]
+        cholX = [[_st._bchol(state["X"][j][ki])[0]
+                  for ki in range(len(cl.classes))]
+                 for j, cl in enumerate(ds.clusters)]
+        return _st._step_lengths(ds, state, dX, dXs, dY, dYs, cholX,
+                                 0.9, 1e-12)
 
     return {
         "chol_X + X^-1": _time_it(chol_x, state, reps=reps),
