@@ -87,7 +87,7 @@ from .poly.samples import (  # noqa: E402
     sample_points_simplex,
 )
 from .poly.sampled import SampledPolyRing, SampledPoly, sampled_polynomial_ring  # noqa: E402
-from .poly.fekete import approximatefekete  # noqa: E402
+from .poly.fekete import approximatefekete, approximatefeketeexact  # noqa: E402
 
 __version__ = "0.1.0"
 

@@ -187,8 +187,15 @@ class ClusteredLowRankSDP:
         return sum(cl.nrows for cl in self.clusters)
 
 
-def convert_to_prec(sdp, prec=None):
-    """API-parity no-op: the device precision is fixed (double-word f64)."""
+def convert_to_prec(sdp, prec=106):
+    """Set the SDP's device precision tier (interface.jl:1078-1112 analogue).
+
+    The compiled host data is already exact double-word f64 (~106 bits) and
+    never needs re-rounding; the tier choice materializes when the solver
+    decomposes it into device expansion words. This records the preferred
+    tier on the SDP; ``solvesdp(prec=None)`` honors it (prec <= 106 -> the
+    fast tier, larger -> the quad-word/f32x8 tier)."""
+    sdp.prec = prec
     return sdp
 
 

@@ -15,7 +15,8 @@ import numpy as np
 from ..utils.hp import to_dd
 from .problem import Constraint, LowRankMatPol, Problem, name_of, subblock_of, sortkey
 
-__all__ = ["check_problem", "check_sdp", "check_constraint", "check_objective"]
+__all__ = ["check_problem", "check_sdp", "check_constraint",
+           "check_objective", "remove_empty_blocks"]
 
 
 def _lr_ok(m: LowRankMatPol) -> bool:
@@ -108,3 +109,42 @@ def check_sdp(sdp, eps=1e-10) -> bool:
                               "symmetric.")
                 ok = False
     return ok
+
+
+def remove_empty_blocks(sdp, verbose: bool = True):
+    """Remove zero coefficient blocks and unused PSD variables from a
+    compiled SDP, in place (checks.jl:64-102 `remove_empty_mats!`).
+
+    A block whose every constraint coefficient is zero (all low-rank terms
+    masked out or zero, or an all-zero dense tensor) corresponds to a PSD
+    variable not used in any constraint of its cluster; the reference
+    deletes the variable with an @info. Returns the number of removed
+    blocks."""
+    removed = 0
+    for j, cl in enumerate(sdp.clusters):
+        keep = []
+        for l, bd in enumerate(cl.blocks):
+            if bd.kind == "lowrank":
+                lam = (np.asarray(bd.lam[0]) + np.asarray(bd.lam[1])) \
+                    * np.asarray(bd.tmask)
+                V = np.asarray(bd.V[0]) + np.asarray(bd.V[1])
+                empty = not lam.size or not np.any(lam) or not np.any(V)
+            else:
+                A = np.asarray(bd.A[0]) + np.asarray(bd.A[1])
+                empty = not A.size or not np.any(A)
+            if empty:
+                if verbose:
+                    warnings.warn(
+                        f"The matrix variable {bd.name!r} (cluster {j}) is "
+                        "not used in any constraint and will be removed.")
+                removed += 1
+            else:
+                keep.append(l)
+        if len(keep) != len(cl.blocks):
+            cl.blocks = [cl.blocks[l] for l in keep]
+            if (sdp.matrix_coeff_names is not None
+                    and j < len(sdp.matrix_coeff_names)):
+                names = sdp.matrix_coeff_names[j]
+                sdp.matrix_coeff_names[j] = [names[l] for l in keep
+                                             if l < len(names)]
+    return removed

@@ -11,6 +11,7 @@ the reference's BigFloat/Arb.
 from __future__ import annotations
 
 from decimal import Decimal
+from fractions import Fraction
 
 import numpy as np
 import scipy.linalg
@@ -18,7 +19,8 @@ import scipy.linalg
 from ..utils.hp import _as_decimal
 from .sampled import SampledPoly, SampledPolyRing
 
-__all__ = ["approximate_fekete", "approximatefekete"]
+__all__ = ["approximate_fekete", "approximatefekete",
+           "approximatefeketeexact"]
 
 
 def _dec_matrix(a_f64: np.ndarray) -> np.ndarray:
@@ -91,3 +93,76 @@ def approximatefekete(basis, samples, s: int = 3, verbose: bool = False,
                                    show_det=show_det)
     ring = SampledPolyRing(pts)
     return [SampledPoly(ring, list(V[:, p])) for p in range(len(basis))], pts
+
+
+def _rationalize(x, tol=Fraction(1, 1000)):
+    """Smallest-denominator rational within ``tol`` of x (the analogue of
+    Julia's rationalize(BigInt, x; tol), used by approximatefeketeexact)."""
+    f = Fraction(float(x))
+    for dmax in (1, 8, 64, 512, 4096, 10 ** 6, 10 ** 9, 10 ** 13, 10 ** 17):
+        cand = f.limit_denominator(dmax)
+        if abs(cand - f) <= tol:
+            return cand
+    return f
+
+
+def approximatefeketeexact(basis, samples, s: int = 3):
+    """Approximate Fekete with an EXACT (rational) basis transformation
+    (approximate_fekete.jl:123-163 `approximatefeketeexact`).
+
+    The candidate samples are rationalized, the Vandermonde matrix is
+    evaluated in exact arithmetic, the float-orthogonalized basis-change
+    matrix is rationalized, verified invertible, and applied exactly — so
+    the returned sampled basis elements have exact Fraction values, usable
+    by the exact rounding pipeline (linear systems via sampling stay over
+    the rationals)."""
+    esamples = []
+    for pt in samples:
+        if isinstance(pt, (list, tuple)):
+            esamples.append(tuple(_rationalize(a) for a in pt))
+        else:
+            esamples.append(_rationalize(pt))
+
+    def _args(pt):
+        return list(pt) if isinstance(pt, (list, tuple)) else [pt]
+
+    npts, n = len(esamples), len(basis)
+    eV = np.empty((npts, n), dtype=object)
+    for i, pt in enumerate(esamples):
+        for p, pol in enumerate(basis):
+            v = pol(*_args(pt))
+            eV[i, p] = v if isinstance(v, Fraction) else Fraction(v)
+
+    aV = np.array([[float(x) for x in row] for row in eV], dtype=np.float64)
+    P = np.eye(n)
+    for _ in range(s):
+        _, r = np.linalg.qr(aV)
+        u = np.linalg.solve(r, np.eye(n))
+        aV = aV @ u
+        P = P @ u
+
+    _, _, piv = scipy.linalg.qr(aV.T, pivoting=True)
+    sample_indices = list(piv[:n])
+    _, r = np.linalg.qr(aV[sample_indices, :])
+    P = P @ np.linalg.solve(r, np.eye(n))
+
+    eP = np.empty((n, n), dtype=object)
+    for i in range(n):
+        for j in range(n):
+            eP[i, j] = _rationalize(P[i, j])
+    # verify the exact transformation is invertible (float det screen +
+    # exact rank via fraction Gaussian elimination on failure)
+    detf = np.linalg.det(np.array([[float(x) for x in row] for row in eP]))
+    if detf == 0.0:
+        from ..exact.rational import rref as _rref
+
+        if _rref([list(row) for row in eP])[0] < n:
+            raise ValueError("exact Fekete basis change is singular")
+
+    eVnew = eV[sample_indices, :] @ eP
+    sel = [esamples[i] for i in sample_indices]
+    order = sorted(range(n), key=lambda i: _ptkey(sel[i]))
+    sel = [sel[i] for i in order]
+    eVnew = eVnew[order, :]
+    ring = SampledPolyRing(sel)
+    return [SampledPoly(ring, list(eVnew[:, p])) for p in range(n)], sel

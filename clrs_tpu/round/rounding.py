@@ -966,6 +966,54 @@ def _solve_pseudoinverse(A, b):
 # validity (rounding.jl:367-472)
 # ---------------------------------------------------------------------------
 
+def _psd_float_certificate(a, n, g, strict=True) -> bool:
+    """Rigorous PSD certificate from a FLOAT Cholesky (the analogue of the
+    reference's Arb-ball Cholesky screen with precision escalation,
+    rounding.jl:367-472): compute L = chol(A) in float64, then certify
+    EXACTLY that A = L L^T + E with sigma_min(L)^2 > ||E||_F.
+
+    L's entries are dyadic rationals (floats), so L L^T and E = A - L L^T
+    are exact small-denominator arithmetic regardless of how large the
+    entries' exact denominators are — this is what makes the screen cheap
+    where plain exact LDL^T suffers coefficient blowup. Returns True only
+    on a sound certificate; False means inconclusive (caller escalates to
+    the exact factorization). Number-field entries are embedded at 80
+    digits with a 1e-50 evaluation-slack margin."""
+    if not strict or n == 0:
+        return False
+
+    def to_float(x):
+        if isinstance(x, NFElem):
+            return float(x.embed(g, digits=80))
+        return float(x)
+
+    try:
+        Af = np.array([[to_float(a[i][j]) for j in range(n)]
+                       for i in range(n)], dtype=np.float64)
+        L = np.linalg.cholesky(Af)
+    except (np.linalg.LinAlgError, OverflowError, ValueError):
+        return False
+    smin = float(np.linalg.svd(L, compute_uv=False)[-1])
+    if not np.isfinite(smin) or smin <= 0:
+        return False
+    # exact E = A - L L^T; its Frobenius norm bounded through the embedding
+    Lf = [[Fraction(L[i, j]) for j in range(n)] for i in range(n)]
+    fro2 = Fraction(0)
+    slack = Fraction(1, 10 ** 50)
+    for i in range(n):
+        for j in range(n):
+            ll = sum(Lf[i][t] * Lf[j][t] for t in range(min(i, j) + 1))
+            e = a[i][j] - ll
+            if isinstance(e, NFElem):
+                mag = abs(Fraction(e.embed(g, digits=80))) + slack
+            else:
+                mag = abs(Fraction(e))
+            fro2 += mag * mag
+    # sigma_min(L)^2 with a generous LAPACK-error margin must exceed ||E||_F
+    bound = Fraction(smin) * Fraction(smin) * Fraction(1, 2)
+    return bound > fro2
+
+
 def _is_psd_exact(m, FF, g, strict=True) -> bool:
     """Exact LDL^T positive-(semi)definiteness over Q or a number field.
 
@@ -975,6 +1023,11 @@ def _is_psd_exact(m, FF, g, strict=True) -> bool:
     n = m.shape[0] if hasattr(m, "shape") else len(m)
     a = [[m[i, j] if hasattr(m, "shape") else m[i][j] for j in range(n)]
          for i in range(n)]
+
+    # cheap sound screen first: a float Cholesky certified exactly (the
+    # reference's ball-Cholesky-with-escalation role, rounding.jl:367-472)
+    if _psd_float_certificate(a, n, g, strict=strict):
+        return True
 
     def sign(x):
         if isinstance(x, NFElem):

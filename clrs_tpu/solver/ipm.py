@@ -84,6 +84,8 @@ def solvesdp(problem, *, prec=None, maxiterations=500,
         sdp = ClusteredLowRankSDP(problem)
     else:
         sdp = problem
+    if prec is None:
+        prec = getattr(sdp, "prec", None)
     if preprocess:
         from ..compile.preprocess import preprocess_sdp
         sdp, post = preprocess_sdp(sdp, verbose=verbose)

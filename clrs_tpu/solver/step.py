@@ -46,6 +46,7 @@ from jax import lax
 from ..compile.sdp import ClusteredLowRankSDP
 from ..dd import linalg as dl
 from ..dd.core import dd_add, dd_div, dd_mul, dd_neg, dd_sub
+from ..dd.expops import two_prod
 
 __all__ = ["DeviceSDP", "make_step", "make_step_body", "make_run_chunk",
            "make_assess", "initial_state", "zero_info"]
@@ -593,23 +594,79 @@ def _errors(Pres, Pres_s, pres, dres):
     return dual_error, primal_error, P_error, p_error
 
 
+# step-length eigenvalue backend: None = pick by JAX backend (verified-f32
+# on TPU, f64 eigvalsh elsewhere); tests override to exercise the verified
+# path on CPU.
+_STEPLEN_VERIFIED = None
+
+
+def _use_verified_eig():
+    if _STEPLEN_VERIFIED is not None:
+        return _STEPLEN_VERIFIED
+    return jax.default_backend() == "tpu"
+
+
+def _eig_lo_verified(W2):
+    """Verified lower eigenvalue bound from an f32 eigendecomposition.
+
+    On TPU there is no f64 LAPACK, and the round-1/2 design used f32
+    eigvalsh with a blanket 1e-5 safety margin — which capped the
+    achievable duality gap. Instead: take the f32 eigenpairs (lam, V) as a
+    CANDIDATE decomposition and certify it with exact expansion
+    arithmetic. With E = A - V diag(lam) V^T and delta = ||V^T V - I||:
+
+        V diag(lam) V^T - lam_min I = V (diag(lam) - lam_min) V^T
+                                      + lam_min (V V^T - I)
+                                  >=  -|lam_min| * delta * I
+        =>  lambda_min(A) >= lam_min - |lam_min| * delta - ||E||_2
+
+    E is evaluated with exact int8-limb GEMMs (V*lam as an exact 2-word
+    product) and both norms are bounded by Frobenius norms, so the bound
+    holds up to the ~1e-15-relative evaluation of the norm sums — a
+    per-matrix certificate replacing the blanket margin. (The reference's
+    own step length is UNVERIFIED Float64 Lanczos, solver.jl:1659; this is
+    strictly stronger.)"""
+    from ..dd.limb_gemm import fx_matmul
+
+    nw = len(W2)
+    A32 = W2[0]
+    for c in W2[1:]:
+        A32 = A32 + c
+    A32 = 0.5 * (A32 + jnp.swapaxes(A32, -1, -2))
+    lam, V = jnp.linalg.eigh(A32)                    # [B,n] asc, [B,n,n]
+    lmin = lam[:, 0].astype(jnp.float64)
+    # E = A - (V*lam) V^T ; V*lam as an exact double-f32 product
+    p, e = two_prod(V, lam[:, None, :].astype(V.dtype))
+    z = jnp.zeros_like(p)
+    VD = (p, e) + (z,) * (nw - 2)
+    Vt = jnp.swapaxes(V, -1, -2)
+    M = jax.vmap(lambda a, b: fx_matmul(a, b))(VD, (Vt,))
+    E = dd_sub(W2, M)
+    Ev = E[0].astype(jnp.float64)
+    for c in E[1:]:
+        Ev = Ev + c.astype(jnp.float64)
+    eta = jnp.sqrt(jnp.sum(Ev * Ev, axis=(-2, -1)))
+    G = jax.vmap(lambda a, b: fx_matmul(a, b, nw=2))((Vt,), (V,))
+    G0 = G[0] - jnp.eye(V.shape[-1], dtype=V.dtype)  # exact near 1
+    Gv = G0.astype(jnp.float64) + G[1].astype(jnp.float64)
+    delta = jnp.sqrt(jnp.sum(Gv * Gv, axis=(-2, -1)))
+    slack = 1.0 + 1e-12                              # norm-evaluation margin
+    return lmin - slack * (jnp.abs(lmin) * delta + eta)
+
+
 def _eig_lo_bound(W2, eig_safety):
-    """Safety-margined lower eigenvalue bounds of symmetrized L^-1 dM L^-T
-    batches (float64 eigh like the reference's Float64 Lanczos,
-    solver.jl:1659; f32 on TPU, where f64 lapack is unavailable)."""
+    """Lower eigenvalue bounds of symmetrized L^-1 dM L^-T batches:
+    certified-f32 on TPU (:func:`_eig_lo_verified`), float64 eigh elsewhere
+    (the reference uses Float64 Lanczos, solver.jl:1659)."""
+    if _use_verified_eig():
+        return _eig_lo_verified(W2)
     A64 = W2[0].astype(jnp.float64)
     for c in W2[1:]:
         A64 = A64 + c.astype(jnp.float64)
     A64 = 0.5 * (A64 + jnp.swapaxes(A64, -1, -2))
-    if jax.default_backend() == "tpu":
-        eigs = jnp.linalg.eigvalsh(
-            A64.astype(jnp.float32)).astype(jnp.float64)
-        safety = 1e-5
-    else:
-        eigs = jnp.linalg.eigvalsh(A64)
-        safety = eig_safety
+    eigs = jnp.linalg.eigvalsh(A64)
     lo = eigs[:, 0]
-    return lo - safety * (1.0 + jnp.abs(lo))
+    return lo - eig_safety * (1.0 + jnp.abs(lo))
 
 
 def _step_lengths(ds, state, dX, dXs, dY, dYs, cholX, gamma, eig_safety):

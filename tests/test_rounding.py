@@ -193,3 +193,42 @@ def test_three_point_bound_exact_10():
                                    settings=RoundingSettings(kernel_errbound=1e-8))
     assert success
     assert objvalue(problem, esol) == 10
+
+
+def test_psd_float_certificate_screen():
+    """The float-Cholesky certificate (rounding.jl:367-472's ball-screen
+    role) certifies a 32x32 PD rational block with large denominators
+    without exact LDL^T entry growth, and never certifies a non-PSD block."""
+    import time
+
+    import numpy as np
+
+    from clrs_tpu.exact.field import QQ
+    from clrs_tpu.round.rounding import (_is_psd_exact,
+                                         _psd_float_certificate)
+
+    rng = np.random.default_rng(7)
+    n = 32
+    B = rng.integers(-40, 40, (n, n))
+    A = B @ B.T + np.eye(n, dtype=np.int64)
+    a = [[Fraction(int(A[i, j]), int(rng.integers(1, 10 ** 9)))
+          for j in range(n)] for i in range(n)]
+    for i in range(n):
+        a[i][i] = Fraction(int(A[i, i]) * 10 ** 6)
+        for j in range(i):
+            a[j][i] = a[i][j]
+    t0 = time.time()
+    assert _psd_float_certificate(a, n, 1, strict=True)
+    assert time.time() - t0 < 5.0   # the whole point: no blowup
+
+    m = np.empty((n, n), dtype=object)
+    for i in range(n):
+        for j in range(n):
+            m[i, j] = a[i][j]
+    assert _is_psd_exact(m, QQ, 1, strict=True)
+
+    m2 = m.copy()
+    m2[0, 0] = Fraction(-1)
+    assert not _psd_float_certificate(
+        [[m2[i, j] for j in range(n)] for i in range(n)], n, 1, strict=True)
+    assert not _is_psd_exact(m2, QQ, 1, strict=True)
