@@ -4,7 +4,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference repo's only timing datapoint is ~18 ms/iteration
 (~55.6 it/s) for the polyopt example on the authors' machine
-(reference docs/src/solving.md:46); vs_baseline = ours / 55.6.
+(reference docs/src/solving.md:46); vs_baseline = ours / 55.6. This is a
+PROXY: delsarte(3,10) here vs polyopt there (comparable scale: both are
+tiny one-cluster problems dominated by per-iteration overheads; the
+reference publishes no delsarte timing). BASELINE.md asks for a locally-run
+Julia reference on the same problem, but this image ships no Julia
+toolchain, so the published datapoint remains the only anchor.
 
 Runs on whatever accelerator JAX picks (the real TPU chip under the driver),
 using the numerically sound substrate for that backend: n-word f32

@@ -122,16 +122,18 @@ def _extract_limbs(words, L):
     return limbs
 
 
-def fx_matmul(a, b, nw=None):
+def fx_matmul(a, b, nw=None, pre_a=None, pre_b=None):
     """f32-expansion GEMM (M,K)@(K,N) -> nw-word f32 expansion.
 
     a, b: tuples of same-shape f32 word arrays. Exact up to the final
     nw-word rounding + truncation below 2^-(24*nw+21) relative to
     rowscale(A)*colscale(B), on any backend whose f32/int8/int32 are IEEE
-    (this TPU, CPU)."""
-    nw = nw or len(a)
-    m, k = a[0].shape
-    n = b[0].shape[1]
+    (this TPU, CPU). ``pre_a``/``pre_b`` = (limbs int8, exp int32) from
+    :func:`host_precompute` skip that operand's runtime scaling +
+    extraction (for constant operands; nw must then be passed)."""
+    nw = nw or (len(a) if a is not None else len(b))
+    m, k = a[0].shape if pre_a is None else pre_a[0].shape[1:]
+    n = b[0].shape[1] if pre_b is None else pre_b[0].shape[2]
     if k == 0 or m == 0 or n == 0:
         z = jnp.zeros((m, n), dtype=jnp.float32)
         return (z,) * nw
@@ -142,13 +144,20 @@ def fx_matmul(a, b, nw=None):
     L = _ceil_div(bits_needed, LIMB_BITS)
     assert L <= 48 and k <= MAX_K_EXACT, (L, k)
 
-    ea = _row_exp_f32(a[0], axis=1)              # (M,1)
-    eb = _row_exp_f32(b[0], axis=0)              # (1,N)
-    asc = tuple(mul_pow2_f32(c, -ea) for c in a)
-    bsc = tuple(mul_pow2_f32(c, -eb) for c in b)
-
-    la = _extract_limbs(asc, L)                  # (L, M, K) int8
-    lb = _extract_limbs(bsc, L)                  # (L, K, N) int8
+    if pre_a is None:
+        ea = _row_exp_f32(a[0], axis=1)          # (M,1)
+        asc = tuple(mul_pow2_f32(c, -ea) for c in a)
+        la = _extract_limbs(asc, L)              # (L, M, K) int8
+    else:
+        la, ea = pre_a
+        assert la.shape[0] == L, (la.shape, L)
+    if pre_b is None:
+        eb = _row_exp_f32(b[0], axis=0)          # (1,N)
+        bsc = tuple(mul_pow2_f32(c, -eb) for c in b)
+        lb = _extract_limbs(bsc, L)              # (L, K, N) int8
+    else:
+        lb, eb = pre_b
+        assert lb.shape[0] == L, (lb.shape, L)
 
     A = la.reshape(L * m, k)
     B = jnp.moveaxis(lb, 0, 1).reshape(k, L * n)
@@ -198,3 +207,52 @@ def fx_matmul(a, b, nw=None):
     for i in range(nw, nw + 2):
         out[-1] = out[-1] + cs[i]
     return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# host-side precomputation of limb forms for CONSTANT operands: the limb
+# extraction is ~40% of an fx_matmul's elementwise work, and the solver's
+# hottest GEMMs have one constant side (V panels, Ul/Ur term tables, B).
+# DeviceSDP extracts those once at build time with bit-identical numpy f32
+# arithmetic; fx_matmul then skips that side's scaling + extraction.
+# ---------------------------------------------------------------------------
+
+def _np_two_sum(a, b):
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _np_vec_sum(cs):
+    n = len(cs)
+    out = [None] * n
+    s = cs[n - 1]
+    for i in range(n - 2, -1, -1):
+        s, e = _np_two_sum(cs[i], s)
+        out[i + 1] = e
+    out[0] = s
+    return out
+
+
+def host_precompute(words, nw, axis):
+    """Limb form of a constant operand (numpy f32, IEEE -> same contract as
+    the device extraction): returns (limbs int8 [L, *shape], exp int32
+    keepdims-shaped). ``axis=1`` for a left operand (row exponents over K),
+    ``axis=0`` for a right operand (column exponents)."""
+    bits_needed = 24 * nw + 21
+    L = _ceil_div(bits_needed, LIMB_BITS)
+    ws = [np.asarray(w, np.float32) for w in words]
+    mag = np.max(np.abs(ws[0]), axis=axis, keepdims=True)
+    mag = np.where(mag == 0, np.float32(1.0), mag).astype(np.float32)
+    e = (np.frexp(mag)[1]).astype(np.int32)     # mag = m * 2^e, m in [0.5,1)
+    e = e + 1                                   # |v| <= 1/2 after scaling
+    ws = [np.ldexp(c.astype(np.float64), -e).astype(np.float32) for c in ws]
+    limbs = []
+    for _ in range(L):
+        ws = [c * np.float32(_F_RADIX) for c in ws]
+        ws = _np_vec_sum(ws)
+        d = np.rint(ws[0]).astype(np.float32)
+        ws[0] = ws[0] - d
+        limbs.append(d.astype(np.int8))
+    return np.stack(limbs), e

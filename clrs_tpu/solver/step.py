@@ -150,6 +150,23 @@ _bsolve_tril = dl.b_solve_tril
 _bsolve_cholesky = dl.b_solve_cholesky
 
 
+def _bmm_pre_r(a, pre):
+    """Batched GEMM with a precomputed (constant) RIGHT operand."""
+    from ..dd.limb_gemm import fx_matmul
+
+    nw = len(a)
+    return jax.vmap(lambda aa, lb, eb: fx_matmul(
+        aa, None, nw=nw, pre_b=(lb, eb)))(a, pre[0], pre[1])
+
+
+def _bmm_pre_l(b, pre, nw):
+    """Batched GEMM with a precomputed (constant) LEFT operand."""
+    from ..dd.limb_gemm import fx_matmul
+
+    return jax.vmap(lambda bb, la, ea: fx_matmul(
+        None, bb, nw=nw, pre_a=(la, ea)))(b, pre[0], pre[1])
+
+
 @dataclasses.dataclass
 class _DevClass:
     """A batch of same-size-class PSD blocks of one cluster."""
@@ -171,6 +188,13 @@ class _DevClass:
     Ur: Any = None               # dd [L, P*T, n]: tmask * V[:, ri].T
     # dense data
     A: Any = None                # dd [L, P, n, n]
+    # precomputed limb forms of the constant GEMM operands (f32 substrate
+    # only; (int8 limbs, int32 exps) per limb_gemm.host_precompute):
+    Vpre_r: Any = None           # V as right operand   [L, Ll, n, m]
+    Vtpre_l: Any = None          # V^T as left operand  [L, Ll, m, n]
+    V2pre_r: Any = None          # doubled (for the [2L] X/Y panel pair)
+    V2tpre_l: Any = None
+    Urpre_r: Any = None          # Ur as right operand  [L, Ll, P*T, n]
 
 
 @dataclasses.dataclass
@@ -340,6 +364,46 @@ class DeviceSDP:
                               for _, rn in k.members) \
             + sum(cl.s_nreal for cl in self.clusters)
         self.total_rows = sum(cl.nrows for cl in self.clusters)
+        if dtype == jnp.float32:
+            self._precompute_limb_forms()
+
+    def _precompute_limb_forms(self):
+        """Host-extract limb forms of the constant GEMM operands (V panels
+        and the Ur term table): the extraction is ~40% of an fx_matmul's
+        elementwise work and these operands never change across iterations
+        (limb_gemm.host_precompute; bit-identical to the device path)."""
+        from ..dd.limb_gemm import host_precompute
+
+        nw = self.nw
+        for cl in self.clusters:
+            for k in cl.classes:
+                if k.kind != "lowrank":
+                    continue
+                Vw = [np.asarray(c) for c in k.V]
+                lr, er, lt, et = [], [], [], []
+                for l in range(k.L):
+                    lb, eb = host_precompute([w[l] for w in Vw], nw, axis=0)
+                    lr.append(lb)
+                    er.append(eb)
+                    la, ea = host_precompute([w[l].T for w in Vw], nw, axis=1)
+                    lt.append(la)
+                    et.append(ea)
+                lr, er = np.stack(lr), np.stack(er)
+                lt, et = np.stack(lt), np.stack(et)
+                k.Vpre_r = (jnp.asarray(lr), jnp.asarray(er))
+                k.Vtpre_l = (jnp.asarray(lt), jnp.asarray(et))
+                k.V2pre_r = (jnp.asarray(np.concatenate([lr, lr])),
+                             jnp.asarray(np.concatenate([er, er])))
+                k.V2tpre_l = (jnp.asarray(np.concatenate([lt, lt])),
+                              jnp.asarray(np.concatenate([et, et])))
+                Uw = [np.asarray(c) for c in k.Ur]
+                lu, eu = [], []
+                for l in range(k.L):
+                    lb, eb = host_precompute([w[l] for w in Uw], nw, axis=0)
+                    lu.append(lb)
+                    eu.append(eb)
+                k.Urpre_r = (jnp.asarray(np.stack(lu)),
+                             jnp.asarray(np.stack(eu)))
 
 
 def initial_state(ds: DeviceSDP, omega_p: float, omega_d: float):
@@ -367,6 +431,9 @@ def initial_state(ds: DeviceSDP, omega_p: float, omega_d: float):
 
 def _panel_b(k: _DevClass, Mb):
     """V^T M V for a class batch (the bilinear pairing panels)."""
+    if k.Vpre_r is not None:
+        MV = _bmm_pre_r(Mb, k.Vpre_r)
+        return _bmm_pre_l(MV, k.Vtpre_l, len(Mb))
     MV = _bmm(Mb, k.V)
     return _bmm(dl.dd_transpose_b(k.V), MV)
 
@@ -379,9 +446,13 @@ def _panels_xy(k: _DevClass, Xb, Yb):
     assembly and by trace_A for the d-residual (the reference reuses its
     bilinear pairings the same way, solver.jl:1121-1170)."""
     M2 = tuple(jnp.concatenate([a, b], 0) for a, b in zip(Xb, Yb))
-    V2 = tuple(jnp.concatenate([c, c], 0) for c in k.V)
-    MV = _bmm(M2, V2)
-    P2 = _bmm(dl.dd_transpose_b(V2), MV)
+    if k.V2pre_r is not None:
+        MV = _bmm_pre_r(M2, k.V2pre_r)
+        P2 = _bmm_pre_l(MV, k.V2tpre_l, len(M2))
+    else:
+        V2 = tuple(jnp.concatenate([c, c], 0) for c in k.V)
+        MV = _bmm(M2, V2)
+        P2 = _bmm(dl.dd_transpose_b(V2), MV)
     PX = tuple(c[:k.L] for c in P2)
     PY = tuple(c[k.L:] for c in P2)
     return PX, PY
@@ -433,7 +504,10 @@ def _weighted_A_cluster(cl: _DevCluster, a):
             wf = tuple(c.reshape(L, P * T, 1) for c in w)
             # sum_pt w_pt v_li v_ri^T = (Ul o w)^T @ Ur: one GEMM per class
             wUl = dd_mul(wf, k.Ul)                              # [L, P*T, n]
-            out.append(_bmm(dl.dd_transpose_b(wUl), k.Ur))      # [L, n, n]
+            if k.Urpre_r is not None:
+                out.append(_bmm_pre_r(dl.dd_transpose_b(wUl), k.Urpre_r))
+            else:
+                out.append(_bmm(dl.dd_transpose_b(wUl), k.Ur))  # [L, n, n]
         else:
             prod = dd_mul(k.A, tuple(c[None, :, None, None] for c in a))
             out.append(dl.dd_sum(prod, axis=1))                 # [L, n, n]

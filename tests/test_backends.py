@@ -193,3 +193,40 @@ def test_f32_expansion_elementwise():
     FR = _to_frac(R)[0]
     for r, x in zip(FR, FA):
         assert abs(r * r - x) < x * Fraction(10) ** -33 + floor
+
+
+def test_fx_matmul_precomputed_operands():
+    """host_precompute limb forms give the same GEMM values as the runtime
+    extraction (the solver precomputes the constant operands: V panels, Ur
+    tables). Representation may differ in sub-1e-37 word splits (XLA
+    flushes f32 subnormals; numpy does not), so compare values."""
+    import numpy as np
+
+    from clrs_tpu.dd import limb_gemm as lg
+
+    rng = np.random.default_rng(5)
+    nw = 5
+
+    def mk(shape):
+        h = rng.standard_normal(shape) * 10.0 ** rng.integers(-4, 4, shape)
+        ws = []
+        for _ in range(nw):
+            w = h.astype(np.float32)
+            ws.append(w)
+            h = h - w.astype(np.float64)
+        return tuple(ws)
+
+    A, B = mk((7, 9)), mk((9, 6))
+    Ad = tuple(jnp.asarray(c) for c in A)
+    Bd = tuple(jnp.asarray(c) for c in B)
+    ref = jax.jit(lg.fx_matmul)(Ad, Bd)
+    pa = lg.host_precompute(A, nw, axis=1)
+    pb = lg.host_precompute(B, nw, axis=0)
+    o1 = jax.jit(lambda b: lg.fx_matmul(
+        None, b, nw=nw, pre_a=(jnp.asarray(pa[0]), jnp.asarray(pa[1]))))(Bd)
+    o2 = jax.jit(lambda a: lg.fx_matmul(
+        a, None, nw=nw, pre_b=(jnp.asarray(pb[0]), jnp.asarray(pb[1]))))(Ad)
+    val = lambda ws: sum(np.asarray(c, np.float64) for c in ws)  # noqa: E731
+    scale = np.abs(val(ref)).max()
+    assert np.max(np.abs(val(o1) - val(ref))) < 1e-30 * scale
+    assert np.max(np.abs(val(o2) - val(ref))) < 1e-30 * scale
