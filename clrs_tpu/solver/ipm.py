@@ -97,6 +97,14 @@ def solvesdp(problem, *, prec=None, maxiterations=500,
 
     if substrate is None:
         substrate = "f32" if jax.default_backend() == "tpu" else "f64"
+    elif substrate == "f64" and jax.default_backend() == "tpu":
+        import warnings
+
+        warnings.warn(
+            "substrate='f64' on this TPU runs on the chip's UNSOUND f64 "
+            "emulation (~48-bit, non-IEEE; see NOTES_TPU_NUMERICS.md) and "
+            "the slow sequential GEMM fallback. Use substrate='f32' (the "
+            "device-exact expansion substrate) or run on CPU.")
     hi_tier = not (prec is None or prec <= 106)
     if substrate == "f32":
         # ~24 effective bits/word; 5 words ~ the dd tier. The high tier is
