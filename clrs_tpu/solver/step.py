@@ -730,17 +730,25 @@ def _eig_lo_verified(W2):
 
 def _eig_lo_bound(W2, eig_safety):
     """Lower eigenvalue bounds of symmetrized L^-1 dM L^-T batches:
-    certified-f32 on TPU (:func:`_eig_lo_verified`), float64 eigh elsewhere
-    (the reference uses Float64 Lanczos, solver.jl:1659)."""
-    if _use_verified_eig():
+    certified-f32 on TPU (:func:`_eig_lo_verified`, f32 substrate), float64
+    eigh elsewhere (the reference uses Float64 Lanczos, solver.jl:1659)."""
+    if _use_verified_eig() and W2[0].dtype == jnp.float32:
         return _eig_lo_verified(W2)
     A64 = W2[0].astype(jnp.float64)
     for c in W2[1:]:
         A64 = A64 + c.astype(jnp.float64)
     A64 = 0.5 * (A64 + jnp.swapaxes(A64, -1, -2))
-    eigs = jnp.linalg.eigvalsh(A64)
+    if jax.default_backend() == "tpu":
+        # f64 words on TPU = the (warned) unsound-emulation path; no f64
+        # LAPACK there, so fall back to f32 eigvalsh + a blanket margin
+        eigs = jnp.linalg.eigvalsh(
+            A64.astype(jnp.float32)).astype(jnp.float64)
+        safety = 1e-5
+    else:
+        eigs = jnp.linalg.eigvalsh(A64)
+        safety = eig_safety
     lo = eigs[:, 0]
-    return lo - eig_safety * (1.0 + jnp.abs(lo))
+    return lo - safety * (1.0 + jnp.abs(lo))
 
 
 def _step_lengths(ds, state, dX, dXs, dY, dYs, cholX, gamma, eig_safety):
