@@ -271,3 +271,51 @@ def pl_solve_tril_t_b(l, b):
     m = b[0].shape[2]
     out = _tril_t_call(nw, n, m, L)(stack_words(l), stack_words(b))
     return unstack_words(out)
+
+
+def pl_map(fn, nw_out, args):
+    """Run an elementwise expansion computation as ONE Pallas kernel per
+    class batch.
+
+    ``args``: list of word-tuples, each with shape [L, *dims] per word
+    (dims padded to 2-D inside); ``fn`` receives the per-batch-element
+    word-tuples (built from :mod:`.expops` primitives — Mosaic-safe) and
+    returns an ``nw_out``-word tuple. This is the fusion vehicle for the
+    solver's per-class elementwise chains (residual R, state updates,
+    corrector sums): dozens of whole-tensor XLA ops (~0.35 us each on this
+    chip) collapse into one kernel of VPU instructions.
+    """
+    L = args[0][0].shape[0]
+    dims = args[0][0].shape[1:]
+    pad2 = (1,) * max(0, 2 - len(dims))
+    shp = pad2 + dims
+
+    def reshape_in(a):
+        return tuple(c.reshape((L,) + (1,) * max(0, 2 - len(c.shape[1:]))
+                               + c.shape[1:]) for c in a)
+
+    stacked = [jnp.stack(reshape_in(a), axis=1) for a in args]
+    nws = [s.shape[1] for s in stacked]
+
+    def kernel(*refs):
+        ins, out = refs[:-1], refs[-1]
+        vals = [tuple(r[0, w] for w in range(nw)) for r, nw in zip(ins, nws)]
+        res = fn(*vals)
+        for w in range(nw_out):
+            out[0, w] = res[w]
+
+    def idx(i):
+        return (i,) + (np.int32(0),) * (len(shp) + 1)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(L,),
+        in_specs=[pl.BlockSpec((1, nw) + tuple(s.shape[2:]), idx,
+                               memory_space=pltpu.VMEM)
+                  for nw, s in zip(nws, stacked)],
+        out_specs=pl.BlockSpec((1, nw_out) + shp, idx,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, nw_out) + shp, jnp.float32),
+        interpret=_interpret(),
+    )(*stacked)
+    return tuple(out[:, w].reshape((L,) + dims) for w in range(nw_out))

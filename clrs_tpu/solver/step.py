@@ -799,17 +799,49 @@ def _step_lengths(ds, state, dX, dXs, dY, dYs, cholX, gamma, eig_safety):
     return a_d, a_p, ok
 
 
+def _use_plmap(dt):
+    """Fuse per-class elementwise expansion chains into single Pallas
+    kernels on the f32 TPU substrate (dozens of ~0.35us whole-tensor XLA
+    ops become one kernel of VPU instructions; dd/pallas_linalg.pl_map)."""
+    return dt == jnp.float32 and jax.default_backend() == "tpu"
+
+
+def _bcast_words(ws, L, nw=None):
+    """Scalar expansion -> [L,1,1]-broadcast word tuple for pl_map args."""
+    out = tuple(jnp.broadcast_to(jnp.reshape(c, (1, 1, 1)), (L, 1, 1))
+                for c in ws)
+    return out if nw is None else out[:nw]
+
+
 def _axpy_state(state, dx, dy, dX, dY, dXs, dYs, alpha_d, alpha_p):
     dt = state["y"][0].dtype
     nw = len(state["y"])
     ad = _scalar_split(alpha_d, nw, dt)
     ap = _scalar_split(alpha_p, nw, dt)
+    if _use_plmap(dt):
+        from ..dd import expops as E
+        from ..dd.pallas_linalg import pl_map
+
+        def fma(Mb, dMb, a3):
+            L = Mb[0].shape[0]
+
+            def f(x, d, a):
+                z = a[0] * np.float32(0.0)
+                return E.exp_add(x, E.exp_mul(d, a + (z,) * (nw - len(a))))
+
+            return pl_map(f, nw, [Mb, dMb, _bcast_words(a3, L, 3)])
+
+        X = [[fma(Xb, dXb, ad) for Xb, dXb in zip(Xc, dXc)]
+             for Xc, dXc in zip(state["X"], dX)]
+        Y = [[fma(Yb, dYb, ap) for Yb, dYb in zip(Yc, dYc)]
+             for Yc, dYc in zip(state["Y"], dY)]
+    else:
+        X = [[dd_add(Xb, dd_mul(dXb, ad)) for Xb, dXb in zip(Xc, dXc)]
+             for Xc, dXc in zip(state["X"], dX)]
+        Y = [[dd_add(Yb, dd_mul(dYb, ap)) for Yb, dYb in zip(Yc, dYc)]
+             for Yc, dYc in zip(state["Y"], dY)]
     x = [dd_add(xj, dd_mul(dxj, ad)) for xj, dxj in zip(state["x"], dx)]
     y = dd_add(state["y"], dd_mul(dy, ap))
-    X = [[dd_add(Xb, dd_mul(dXb, ad)) for Xb, dXb in zip(Xc, dXc)]
-         for Xc, dXc in zip(state["X"], dX)]
-    Y = [[dd_add(Yb, dd_mul(dYb, ap)) for Yb, dYb in zip(Yc, dYc)]
-         for Yc, dYc in zip(state["Y"], dY)]
     Xs = [dd_add(a, dd_mul(b, ad)) for a, b in zip(state["Xs"], dXs)]
     Ys = [dd_add(a, dd_mul(b, ap)) for a, b in zip(state["Ys"], dYs)]
     return {"x": x, "y": y, "X": X, "Y": Y, "Xs": Xs, "Ys": Ys}
@@ -904,18 +936,42 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
                    for pj in panels]
 
         # R = mu I - X Y [- dX dY] (solver.jl:961-983); masked on padding
+        use_pl = _use_plmap(dt)
+
         def _residual_R(mu_val, corr=None):
             Rs, Rs_s = [], []
             for j, cl in enumerate(ds.clusters):
                 Rc = []
                 for ki, k in enumerate(cl.classes):
                     XY = XYs[j][ki]
+                    if corr is not None:
+                        dXdY = _bmm(corr[0][j][ki], corr[1][j][ki])
+                    if use_pl:
+                        from ..dd import expops as E
+                        from ..dd.pallas_linalg import pl_map
+
+                        eye1 = (jnp.broadcast_to(
+                            jnp.eye(k.n, dtype=dt), (k.L, k.n, k.n)),)
+                        mask1 = (k.maskd,)
+                        muB = _bcast_words(mu_val, k.L)
+
+                        def f(mu, eye, mask, xy, *dxdy):
+                            muI = tuple(mw * eye[0] for mw in mu)  # exact
+                            r = E.exp_sub(muI, xy)
+                            if dxdy:
+                                r = E.exp_sub(r, dxdy[0])
+                            return tuple(c * mask[0] for c in r)
+
+                        args = [muB, eye1, mask1, XY]
+                        if corr is not None:
+                            args.append(dXdY)
+                        Rc.append(pl_map(f, nw, args))
+                        continue
                     eye = dl.dd_eye(k.n, nw, dtype=dt)
                     eye_b = tuple(jnp.broadcast_to(c, (k.L, k.n, k.n))
                                   for c in eye)
                     Rb = dd_sub(dd_mul(mu_val, eye_b), XY)
                     if corr is not None:
-                        dXdY = _bmm(corr[0][j][ki], corr[1][j][ki])
                         Rb = dd_sub(Rb, dXdY)
                     Rc.append(_dd_scale(Rb, k.maskd))
                 Rs.append(Rc)
@@ -1020,10 +1076,18 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
 
         # corrector mu (solver.jl:429-434): r = <X+dX, Y+dY>/(mu K),
         # ONE trace dot on the summed iterates instead of four (bilinearity)
+        if use_pl:
+            from ..dd import expops as E
+            from ..dd.pallas_linalg import pl_map
+
+            def _padd(a, b):
+                return pl_map(lambda x, d: E.exp_add(x, d), nw, [a, b])
+        else:
+            _padd = dd_add
         sstate = {
-            "X": [[dd_add(Xb, dXb) for Xb, dXb in zip(Xc, dXc)]
+            "X": [[_padd(Xb, dXb) for Xb, dXb in zip(Xc, dXc)]
                   for Xc, dXc in zip(state["X"], dX)],
-            "Y": [[dd_add(Yb, dYb) for Yb, dYb in zip(Yc, dYc)]
+            "Y": [[_padd(Yb, dYb) for Yb, dYb in zip(Yc, dYc)]
                   for Yc, dYc in zip(state["Y"], dY)],
             "Xs": [dd_add(a, b) for a, b in zip(state["Xs"], dXs)],
             "Ys": [dd_add(a, b) for a, b in zip(state["Ys"], dYs)],
