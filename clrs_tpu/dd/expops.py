@@ -173,6 +173,8 @@ def exp_mul(x, y):
 def exp_mul_f32(x, a, a_split=None):
     """nw-word times one f32 word."""
     nw = len(x)
+    if nw == 1:
+        return (x[0] * a,)
     asp = a_split if a_split is not None else split_f32(a)
     cs = []
     prev_e = None

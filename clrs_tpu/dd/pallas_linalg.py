@@ -286,13 +286,21 @@ def pl_map(fn, nw_out, args):
     chip) collapse into one kernel of VPU instructions.
     """
     L = args[0][0].shape[0]
-    dims = args[0][0].shape[1:]
+    # Output dims are the BROADCAST of all arg dims (args may mix
+    # [L,1,1]-broadcast scalars with full [L,n,n] tensors; round-3 bug:
+    # taking args[0] alone crashed when a scalar came first).
+    dims = np.broadcast_shapes(*(a[0].shape[1:] for a in args))
     pad2 = (1,) * max(0, 2 - len(dims))
-    shp = pad2 + dims
+    shp = pad2 + tuple(dims)
 
     def reshape_in(a):
-        return tuple(c.reshape((L,) + (1,) * max(0, 2 - len(c.shape[1:]))
-                               + c.shape[1:]) for c in a)
+        # Pre-broadcast every word to the full block shape: Mosaic cannot
+        # lower a (1,1)->(n,n) broadcast inside a kernel ("Broadcast in
+        # both sublanes and lanes: Not implemented"), so broadcast in XLA
+        # where it fuses into the copy (negligible at these block sizes).
+        return tuple(jnp.broadcast_to(
+            c.reshape((L,) + (1,) * max(0, 2 - len(c.shape[1:]))
+                      + c.shape[1:]), (L,) + shp) for c in a)
 
     stacked = [jnp.stack(reshape_in(a), axis=1) for a in args]
     nws = [s.shape[1] for s in stacked]
@@ -302,7 +310,7 @@ def pl_map(fn, nw_out, args):
         vals = [tuple(r[0, w] for w in range(nw)) for r, nw in zip(ins, nws)]
         res = fn(*vals)
         for w in range(nw_out):
-            out[0, w] = res[w]
+            out[0, w] = jnp.broadcast_to(res[w], shp)
 
     def idx(i):
         return (i,) + (np.int32(0),) * (len(shp) + 1)

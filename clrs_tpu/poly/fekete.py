@@ -150,14 +150,15 @@ def approximatefeketeexact(basis, samples, s: int = 3):
     for i in range(n):
         for j in range(n):
             eP[i, j] = _rationalize(P[i, j])
-    # verify the exact transformation is invertible (float det screen +
-    # exact rank via fraction Gaussian elimination on failure)
-    detf = np.linalg.det(np.array([[float(x) for x in row] for row in eP]))
-    if detf == 0.0:
-        from ..exact.rational import rref as _rref
+    # verify the exact transformation is invertible with an EXACT rank
+    # check (a float det of an exactly-singular rational matrix is
+    # typically a tiny nonzero value, so a float screen alone can silently
+    # accept a singular eP; the reference asserts !iszero(det(eP)) on the
+    # exact matrix, approximate_fekete.jl:151)
+    from ..exact.rational import rref as _rref
 
-        if _rref([list(row) for row in eP])[0] < n:
-            raise ValueError("exact Fekete basis change is singular")
+    if _rref([list(row) for row in eP])[0] < n:
+        raise ValueError("exact Fekete basis change is singular")
 
     eVnew = eV[sample_indices, :] @ eP
     sel = [esamples[i] for i in sample_indices]

@@ -22,7 +22,7 @@ from __future__ import annotations
 import random
 import warnings
 from fractions import Fraction
-from math import lcm
+from math import isqrt, lcm
 from typing import Dict, List
 
 import numpy as np
@@ -966,6 +966,14 @@ def _solve_pseudoinverse(A, b):
 # validity (rounding.jl:367-472)
 # ---------------------------------------------------------------------------
 
+def _sqrt_ub(q: Fraction) -> Fraction:
+    """Exact rational UPPER bound on sqrt(q): sqrt(p/r) <= (isqrt(p*r)+1)/r."""
+    if q <= 0:
+        return Fraction(0)
+    p, r = q.numerator, q.denominator
+    return Fraction(isqrt(p * r) + 1, r)
+
+
 def _psd_float_certificate(a, n, g, strict=True) -> bool:
     """Rigorous PSD certificate from a FLOAT Cholesky (the analogue of the
     reference's Arb-ball Cholesky screen with precision escalation,
@@ -1009,9 +1017,20 @@ def _psd_float_certificate(a, n, g, strict=True) -> bool:
             else:
                 mag = abs(Fraction(e))
             fro2 += mag * mag
-    # sigma_min(L)^2 with a generous LAPACK-error margin must exceed ||E||_F
-    bound = Fraction(smin) * Fraction(smin) * Fraction(1, 2)
-    return bound > fro2
+    # Sound certificate: lambda_min(A) >= sigma_min(L)^2 - ||E||_2 and
+    # ||E||_2 <= ||E||_F.  The LAPACK smin carries absolute error up to
+    # ~p(n)*eps*sigma_max (not just a factor), so lower-bound the true
+    # sigma_min exactly: smin_lo = smin - 10*n*eps*sigma_max_ub with
+    # sigma_max <= ||L||_F bounded by exact rational arithmetic.
+    eps = Fraction(1, 2 ** 52)
+    froL2 = Fraction(0)
+    for i in range(n):
+        for j in range(i + 1):
+            froL2 += Lf[i][j] * Lf[i][j]
+    smin_lo = Fraction(smin) - Fraction(10 * n) * eps * _sqrt_ub(froL2)
+    if smin_lo <= 0:
+        return False
+    return smin_lo * smin_lo > _sqrt_ub(fro2)
 
 
 def _is_psd_exact(m, FF, g, strict=True) -> bool:

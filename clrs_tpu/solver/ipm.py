@@ -84,6 +84,11 @@ def solvesdp(problem, *, prec=None, maxiterations=500,
         sdp = ClusteredLowRankSDP(problem)
     else:
         sdp = problem
+    # drop all-zero coefficient blocks / unused PSD variables before the
+    # device build (the reference runs remove_empty_mats! via check_sdp!,
+    # checks.jl:64-102,119-125)
+    from ..model.checks import remove_empty_blocks
+    remove_empty_blocks(sdp, verbose=verbose)
     if prec is None:
         prec = getattr(sdp, "prec", None)
     if preprocess:

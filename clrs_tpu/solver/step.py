@@ -799,10 +799,19 @@ def _step_lengths(ds, state, dX, dXs, dY, dYs, cholX, gamma, eig_safety):
     return a_d, a_p, ok
 
 
+_USE_PLMAP = None  # test override: force (True) / disable (False) the fused path
+
+
 def _use_plmap(dt):
     """Fuse per-class elementwise expansion chains into single Pallas
     kernels on the f32 TPU substrate (dozens of ~0.35us whole-tensor XLA
-    ops become one kernel of VPU instructions; dd/pallas_linalg.pl_map)."""
+    ops become one kernel of VPU instructions; dd/pallas_linalg.pl_map).
+
+    `_USE_PLMAP` lets CI force this TPU-gated branch on CPU, where the
+    kernels run under the Pallas interpreter (the round-3 bench crash was
+    in exactly this branch, which no CPU test could reach)."""
+    if _USE_PLMAP is not None:
+        return _USE_PLMAP and dt == jnp.float32
     return dt == jnp.float32 and jax.default_backend() == "tpu"
 
 

@@ -215,3 +215,12 @@ def test_verified_steplen_reaches_1e15_gap():
         assert str(status) == "pdOpt"
     finally:
         st._STEPLEN_VERIFIED = old
+
+
+def test_exp_mul_f32_single_word():
+    """exp_mul_f32 must handle 1-word expansions (advisor r3: prev_e stayed
+    None and the final accumulation raised TypeError)."""
+    x = (jnp.asarray(np.float32([1.5, -2.0, 3.25])),)
+    out = E.exp_mul_f32(x, np.float32(2.0))
+    assert len(out) == 1
+    assert np.array_equal(np.asarray(out[0]), np.float32([3.0, -4.0, 6.5]))

@@ -1,0 +1,117 @@
+"""The fused Pallas elementwise path (dd.pallas_linalg.pl_map) — the
+TPU-gated branch that crashed the round-3 bench untested.
+
+Round-3 lesson encoded here: every TPU-gated branch must be forcible on
+CPU (where Pallas runs in interpret mode) and exercised by CI. The
+`step._USE_PLMAP` override mirrors `step._STEPLEN_VERIFIED`.
+"""
+
+from fractions import Fraction
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clrs_tpu.dd import expops as E
+from clrs_tpu.dd import pallas_linalg as P
+from clrs_tpu.solver import step as st
+
+
+def _mk(vals, nw=5):
+    h = np.asarray(vals, np.float64)
+    ws = []
+    for _ in range(nw):
+        w = h.astype(np.float32)
+        ws.append(jnp.asarray(w))
+        h = h - w.astype(np.float64)
+    return tuple(ws)
+
+
+def _val(ws):
+    return sum(np.asarray(c, np.float64) for c in ws)
+
+
+def test_pl_map_broadcast_scalar_first():
+    """Exact round-3 crash shape: a [L,1,1]-broadcast scalar as args[0],
+    full [L,n,n] tensor second; output must take the broadcast shape
+    (pallas_linalg.py round-3 bug: dims were read from args[0] alone)."""
+    rng = np.random.default_rng(0)
+    L, n, nw = 3, 6, 5
+    mu = _mk(rng.standard_normal((L, 1, 1)), nw)
+    xy = _mk(rng.standard_normal((L, n, n)), nw)
+    eye = (jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (L, n, n)),)
+
+    def f(m, e, x):
+        muI = tuple(mw * e[0] for mw in m)
+        return E.exp_sub(muI, x)
+
+    out = P.pl_map(f, nw, [mu, eye, xy])
+    assert out[0].shape == (L, n, n)
+    ref = _val(mu) * np.eye(n) - _val(xy)
+    assert np.max(np.abs(_val(out) - ref)) < 1e-12
+
+
+def test_pl_map_matches_unfused_chain():
+    """pl_map(fn) == fn applied via plain XLA ops, for a mixed-rank chain."""
+    rng = np.random.default_rng(1)
+    L, n, nw = 2, 5, 4
+    a = _mk(rng.standard_normal((L, n, n)), nw)
+    b = _mk(rng.standard_normal((L, n, n)), nw)
+    s = _mk(rng.standard_normal((L, 1, 1)), nw)
+
+    def f(x, y, c):
+        return E.exp_add(E.exp_mul(x, c), y)
+
+    fused = P.pl_map(f, nw, [a, b, s])
+    plain = f(a, b, s)
+    for fw, pw in zip(fused, plain):
+        assert np.array_equal(np.asarray(fw), np.asarray(pw))
+
+
+def _delsarte_problem():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    from delsarte import delsarte_problem
+
+    return delsarte_problem(3, 4, Fraction(1, 2))
+
+
+@pytest.mark.slow
+def test_full_step_fused_vs_unfused():
+    """Drive full f32-substrate IPM steps through the fused pl_map path
+    (forced on CPU, Pallas interpreter) and assert the trajectory equals
+    the unfused path — the test that would have caught the round-3 crash
+    at trace time AND any numeric regression."""
+    from clrs_tpu.compile.sdp import ClusteredLowRankSDP
+    from clrs_tpu.solver.step import DeviceSDP, initial_state, make_step
+
+    sdp = ClusteredLowRankSDP(_delsarte_problem())
+    traj = {}
+    for tag, force in [("unfused", False), ("fused", True)]:
+        old = st._USE_PLMAP
+        st._USE_PLMAP = force
+        try:
+            ds = DeviceSDP(sdp, nw=5, dtype=jnp.float32)
+            step = make_step(ds, gamma=0.9, beta_feasible=0.1,
+                             beta_infeasible=0.3,
+                             dual_error_threshold=1e-12,
+                             primal_error_threshold=1e-12)
+            state = initial_state(ds, 100.0, 100.0)
+            feas = False
+            rows = []
+            for _ in range(4):
+                state, info = step(state, feas)
+                feas = bool(info["pd_feas"])
+                assert bool(info["ok"])
+                rows.append((float(info["mu"]), float(info["d_obj"]),
+                             float(info["p_obj"]), float(info["alpha_d"]),
+                             float(info["alpha_p"])))
+            traj[tag] = rows
+        finally:
+            st._USE_PLMAP = old
+    for ru, rf in zip(traj["unfused"], traj["fused"]):
+        for a, b in zip(ru, rf):
+            assert a == pytest.approx(b, rel=1e-13, abs=1e-18), (ru, rf)

@@ -35,3 +35,40 @@ def test_sdpa_solve():
                                    dual_error_threshold=1e-12,
                                    primal_error_threshold=1e-12)
     assert code == 0
+
+
+def test_remove_empty_blocks():
+    """All-zero coefficient blocks (dense and low-rank) are removed before
+    the solve, and the solve still reaches the oracle objective
+    (checks.jl:64-102 remove_empty_mats!)."""
+    from fractions import Fraction
+
+    from clrs_tpu import Constraint, Maximize, Objective, Problem
+    from clrs_tpu.model.checks import remove_empty_blocks
+    from clrs_tpu.model.problem import LowRankMatPol
+
+    L = [[2, -1, -1], [-1, 2, -1], [-1, -1, 2]]
+    n = 3
+    obj = Objective(0, {"X": [[Fraction(L[i][j], 4) for j in range(n)]
+                              for i in range(n)]}, {})
+    zero_dense = [[Fraction(0)] * 2 for _ in range(2)]
+    zero_lr = LowRankMatPol([Fraction(0)], [[Fraction(1), Fraction(0)]])
+    constraints = []
+    for i in range(n):
+        M = [[Fraction(1) if (a == i and b == i) else Fraction(0)
+              for b in range(n)] for a in range(n)]
+        constraints.append(Constraint(1, {"X": M, "Zd": zero_dense,
+                                          "Zl": zero_lr}, {}))
+    problem = Problem(Maximize(obj), constraints)
+    sdp = ClusteredLowRankSDP(problem)
+    nblocks0 = sum(len(cl.blocks) for cl in sdp.clusters)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        removed = remove_empty_blocks(sdp, verbose=True)
+    assert removed == 2
+    assert sum(len(cl.blocks) for cl in sdp.clusters) == nblocks0 - 2
+    st, dsol, psol, t, code = solvesdp(
+        sdp, verbose=False, omega_p=100.0, omega_d=100.0,
+        dual_error_threshold=1e-25, primal_error_threshold=1e-25)
+    assert code == 0
+    assert float(objvalue(problem, psol)) == pytest.approx(2.25, abs=1e-8)
