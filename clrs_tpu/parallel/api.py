@@ -59,45 +59,90 @@ def _put(words, sharding):
     return tuple(jax.device_put(c, sharding) for c in words)
 
 
+def _axis_spec(mesh, axis, i, ndim):
+    """NamedSharding placing ``axis`` on dim ``i`` of an ndim array."""
+    return NamedSharding(mesh, P(*([None] * i + [axis]
+                                   + [None] * (ndim - i - 1))))
+
+
+def _shard_class(k, cl, mesh, axis, n):
+    """Class block axis [J*Lc] shardable? jslot-major flattening means a
+    J-divisible mesh split keeps whole clusters device-local."""
+    return k.L % n == 0 and k.L >= n > 1
+
+
+def _shard_j(cl, n):
+    return cl.J % n == 0 and cl.J >= n > 1
+
+
+def _shard_bs(cl, n):
+    return bool(cl.s_nb) and cl.s_nb % n == 0 and cl.s_nb >= n > 1
+
+
 def shard_device_sdp(ds, mesh: Mesh, axis: str = BLOCK_AXIS) -> int:
-    """Shard the DeviceSDP constants in place along the class block axis
-    and the scalar-pack axis. Returns the number of sharded class/pack
-    axes and raises if it is zero (silent full replication)."""
+    """Shard the DeviceSDP constants in place.
+
+    Axes, in order of preference per cluster group:
+    - the CLUSTER axis [J] (same-signature clusters stacked by DeviceSDP):
+      all cluster-level arrays (c, B, scalar packs) shard over it, and the
+      flattened class block axis [J*Lc] shards with per-device cluster
+      locality (jslot-major). This is the reference's `Threads.@threads
+      for j` parallelism (src/solver.jl:1244-1261) as a mesh axis; the Q
+      reduction becomes the one cross-device collective.
+    - the class BLOCK axis [J*Lc] alone (few-cluster problems): per-block
+      kernels device-local, Schur/trace contractions psum.
+    - the scalar-pack axis [Bs].
+
+    Build the DeviceSDP with ``mesh_divisor=n`` to make axes divisible
+    (inert fake blocks/clusters pad them). Returns the number of sharded
+    axes; raises if zero (silent full replication)."""
     n = mesh.shape[axis]
 
-    def spec(ndim):
-        return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+    def spec(i, ndim):
+        return _axis_spec(mesh, axis, i, ndim)
 
     repl = NamedSharding(mesh, P())
     sharded = 0
     for cl in ds.clusters:
         for k in cl.classes:
-            if k.L % n == 0 and k.L >= n > 1:
-                k.C = _put(k.C, spec(3))
-                k.maskd = jax.device_put(k.maskd, spec(3))
-                k.maskdiag = jax.device_put(k.maskdiag, spec(2))
+            if _shard_class(k, cl, mesh, axis, n):
+                k.C = _put(k.C, spec(0, 3))
+                k.maskd = jax.device_put(k.maskd, spec(0, 3))
+                k.maskdiag = jax.device_put(k.maskdiag, spec(0, 2))
                 if k.kind == "lowrank":
-                    k.V = _put(k.V, spec(3))
-                    k.lam = _put(k.lam, spec(3))
-                    k.li = jax.device_put(k.li, spec(3))
-                    k.ri = jax.device_put(k.ri, spec(3))
-                    k.tmask = jax.device_put(k.tmask, spec(3))
-                    k.Ul = _put(k.Ul, spec(3))
-                    k.Ur = _put(k.Ur, spec(3))
+                    k.V = _put(k.V, spec(0, 3))
+                    k.lam = _put(k.lam, spec(0, 3))
+                    k.li = jax.device_put(k.li, spec(0, 3))
+                    k.ri = jax.device_put(k.ri, spec(0, 3))
+                    k.tmask = jax.device_put(k.tmask, spec(0, 3))
+                    k.Ul = _put(k.Ul, spec(0, 3))
+                    k.Ur = _put(k.Ur, spec(0, 3))
                 else:
-                    k.A = _put(k.A, spec(4))
+                    k.A = _put(k.A, spec(0, 4))
                 sharded += 1
-        if cl.s_nb and cl.s_nb % n == 0 and cl.s_nb >= n > 1:
-            cl.sa = _put(cl.sa, spec(2))
-            cl.sC = _put(cl.sC, spec(1))
-            cl.smask = jax.device_put(cl.smask, spec(1))
+        if _shard_j(cl, n):
+            cl.c = _put(cl.c, spec(0, 2))
+            cl.B = _put(cl.B, spec(0, 3))
+            cl.jmask = jax.device_put(cl.jmask, spec(0, 1))
+            if cl.s_nb:
+                cl.sa = _put(cl.sa, spec(0, 3))
+                cl.sC = _put(cl.sC, spec(0, 2))
+                cl.smask = jax.device_put(cl.smask, spec(0, 2))
             sharded += 1
-        cl.B = _put(cl.B, repl)
-        cl.c = _put(cl.c, repl)
+        else:
+            cl.c = _put(cl.c, repl)
+            cl.B = _put(cl.B, repl)
+            cl.jmask = jax.device_put(cl.jmask, repl)
+            if _shard_bs(cl, n):
+                cl.sa = _put(cl.sa, spec(1, 3))
+                cl.sC = _put(cl.sC, spec(1, 2))
+                cl.smask = jax.device_put(cl.smask, spec(1, 2))
+                sharded += 1
     if sharded == 0:
         raise ValueError(
-            "no class or scalar-pack axis was shardable over this mesh "
-            f"(mesh size {n}); refusing to dryrun a fully replicated model")
+            "no cluster, class, or scalar-pack axis was shardable over "
+            f"this mesh (mesh size {n}); refusing to dryrun a fully "
+            "replicated model")
     return sharded
 
 
@@ -105,25 +150,30 @@ def shard_state(ds, state, mesh: Mesh, axis: str = BLOCK_AXIS):
     """Shard an IPM state pytree consistently with shard_device_sdp."""
     n = mesh.shape[axis]
 
-    def spec(ndim):
-        return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+    def spec(i, ndim):
+        return _axis_spec(mesh, axis, i, ndim)
 
     repl = NamedSharding(mesh, P())
     out = {
-        "x": [_put(xj, repl) for xj in state["x"]],
         "y": _put(state["y"], repl),
-        "X": [], "Y": [], "Xs": [], "Ys": [],
+        "x": [], "X": [], "Y": [], "Xs": [], "Ys": [],
     }
     for j, cl in enumerate(ds.clusters):
+        sj = _shard_j(cl, n)
+        out["x"].append(_put(state["x"][j], spec(0, 2) if sj else repl))
         Xc, Yc = [], []
         for ki, k in enumerate(cl.classes):
-            s = spec(3) if (k.L % n == 0 and k.L >= n > 1) else repl
+            s = spec(0, 3) if _shard_class(k, cl, mesh, axis, n) else repl
             Xc.append(_put(state["X"][j][ki], s))
             Yc.append(_put(state["Y"][j][ki], s))
         out["X"].append(Xc)
         out["Y"].append(Yc)
-        s = spec(1) if (cl.s_nb and cl.s_nb % n == 0 and cl.s_nb >= n > 1) \
-            else repl
+        if sj:
+            s = spec(0, 2)
+        elif _shard_bs(cl, n):
+            s = spec(1, 2)
+        else:
+            s = repl
         out["Xs"].append(_put(state["Xs"][j], s))
         out["Ys"].append(_put(state["Ys"][j], s))
     return out

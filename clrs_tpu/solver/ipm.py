@@ -59,7 +59,7 @@ def solvesdp(problem, *, prec=None, maxiterations=500,
              safe_step=True, correctoronly=False,
              save_settings: Optional[SaveSettings] = None,
              preprocess=True, testing=False, substrate=None,
-             sync_every=None):
+             sync_every=None, mesh=None):
     """Solve; returns (status, dualsol, primalsol, solve_time, errorcode).
 
     `prec` selects the precision tier of the on-device expansion arithmetic
@@ -119,7 +119,15 @@ def solvesdp(problem, *, prec=None, maxiterations=500,
         nw, dtype = (8 if hi_tier else 5), jnp.float32
     else:
         nw, dtype = (4 if hi_tier else 2), jnp.float64
-    ds = DeviceSDP(sdp, nw=nw, dtype=dtype)
+    # `mesh`: a 1-D jax.sharding.Mesh — the whole solve runs sharded
+    # (cluster / block / scalar-pack axes, clrs_tpu.parallel); axes are
+    # padded to mesh divisibility with inert fake blocks/clusters
+    mesh_div = 1 if mesh is None else int(
+        np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    ds = DeviceSDP(sdp, nw=nw, dtype=dtype, mesh_divisor=mesh_div)
+    if mesh is not None:
+        from ..parallel.api import shard_device_sdp
+        shard_device_sdp(ds, mesh, axis=mesh.axis_names[0])
     if sync_every is None:
         sync_every = 8 if jax.default_backend() == "tpu" else 1
     step_kw = dict(gamma=gamma, beta_feasible=beta_feasible,
@@ -142,6 +150,9 @@ def solvesdp(problem, *, prec=None, maxiterations=500,
     state = initial_state(ds, float(omega_p), float(omega_d))
     if dualsol is not None and primalsol is not None:
         state = _warm_start(ds, sdp, state, dualsol, primalsol)
+    if mesh is not None:
+        from ..parallel.api import shard_state
+        state = shard_state(ds, state, mesh, axis=mesh.axis_names[0])
 
     info0 = {k: float(v) for k, v in assess(state).items()}
     dual_error = info0["dual_error"]
@@ -388,7 +399,12 @@ def _two(ws):
 
 def _extract(ds, sdp: ClusteredLowRankSDP, state, post=None):
     """Device state -> (DualSolution, PrimalSolution) (solver.jl:746-790)."""
-    x = [_two(ws) for ws in state["x"]]
+    # group-state [J, P] rows -> per-ORIGINAL-cluster (hi, lo) vectors
+    xg = [_two(ws) for ws in state["x"]]
+    x = []
+    for j in range(len(sdp.clusters)):
+        g, jslot = ds.cluster_of[j]
+        x.append((np.asarray(xg[g][0][jslot]), np.asarray(xg[g][1][jslot])))
     yh, yl = _two(state["y"])
     if post is not None:
         x, (yh, yl) = post(x, (yh, yl))
@@ -401,9 +417,10 @@ def _extract(ds, sdp: ClusteredLowRankSDP, state, post=None):
     matrixvars = {}
     matrixvars_dual = {}
     for j, cl in enumerate(sdp.clusters):
+        g, jslot = ds.cluster_of[j]
         if cl.scalars is not None:
-            Xsh, Xsl = _two(state["Xs"][j])
-            Ysh, Ysl = _two(state["Ys"][j])
+            Xsh, Xsl = _two(tuple(c[jslot] for c in state["Xs"][g]))
+            Ysh, Ysl = _two(tuple(c[jslot] for c in state["Ys"][g]))
             for bidx, (name, use_block) in enumerate(cl.scalars.names):
                 key = Block(name, 1, 1) if use_block else name
                 matrixvars[key] = _dd_scalar_array(
@@ -411,12 +428,12 @@ def _extract(ds, sdp: ClusteredLowRankSDP, state, post=None):
                 matrixvars_dual[key] = _dd_scalar_array(
                     Xsh[bidx:bidx + 1, None], Xsl[bidx:bidx + 1, None])
         for l, bd in enumerate(cl.blocks):
-            ki, slot = ds.clusters[j].layout[l]
+            ki, slot = ds.clusters[g].layout[jslot][l]
             n_real = bd.n
             Yh, Yl = _two(tuple(c[slot, :n_real, :n_real]
-                                for c in state["Y"][j][ki]))
+                                for c in state["Y"][g][ki]))
             Xh, Xl = _two(tuple(c[slot, :n_real, :n_real]
-                                for c in state["X"][j][ki]))
+                                for c in state["X"][g][ki]))
             use_block, nsub = sdp.matrix_coeff_blocks[j][l]
             delta = bd.delta
             for r in range(nsub):
@@ -447,15 +464,17 @@ def _warm_start(ds, sdp, state, dualsol: DualSolution, primalsol: PrimalSolution
     from ..utils.hp import to_dd
     import jax.numpy as jnp
 
-    x = [[np.zeros(cl.nrows), np.zeros(cl.nrows)] for cl in sdp.clusters]
+    x = [[np.zeros((cl.J, cl.nrows)), np.zeros((cl.J, cl.nrows))]
+         for cl in ds.clusters]
     for (ci, si), (j, row) in sdp.order_c.items():
         try:
             v = dualsol.x[ci][si]
         except (IndexError, KeyError):
             continue
         h, l = to_dd(v if not isinstance(v, float) else v)
-        x[j][0][row] = h
-        x[j][1][row] = l
+        g, jslot = ds.cluster_of[j]
+        x[g][0][jslot, row] = h
+        x[g][1][jslot, row] = l
 
     def read_block(mv, j, l, bd):
         use_block, nsub = sdp.matrix_coeff_blocks[j][l]
@@ -482,47 +501,51 @@ def _warm_start(ds, sdp, state, dualsol: DualSolution, primalsol: PrimalSolution
 
         return _w(tuple(np.asarray(w) for w in ws), ds.nw, ds.dtype)
 
-    def pack_classes(j, cl, per_block):
-        """Per-original-block (hi, lo) pairs -> class-batched padded device
-        words; padded diagonal pinned at 1 (the inert-padding invariant)."""
-        out = []
-        for k in ds.clusters[j].classes:
-            Ls = []
-            for slot, (l, n_real) in enumerate(k.members):
-                hi, lo = per_block[l]
-                hi_p = np.zeros((k.n, k.n))
-                lo_p = np.zeros((k.n, k.n))
-                hi_p[:n_real, :n_real] = hi
-                lo_p[:n_real, :n_real] = lo
-                for a in range(n_real, k.n):
-                    hi_p[a, a] = 1.0
-                Ls.append((hi_p, lo_p))
-            out.append(pad((np.stack([h for h, _ in Ls]),
-                            np.stack([l2 for _, l2 in Ls]))))
-        return out
+    def group_classes(dcl, mv):
+        """Host class-batched [J*Lc, n, n] arrays for one cluster group,
+        filled from a solution dict; padded/fake slots stay identity
+        (the inert-padding invariant)."""
+        arrs = []
+        for k in dcl.classes:
+            hi = np.zeros((k.L, k.n, k.n))
+            hi[:, np.arange(k.n), np.arange(k.n)] = 1.0
+            arrs.append([hi, np.zeros((k.L, k.n, k.n))])
+        for jslot, j in enumerate(dcl.members_j):
+            cl = sdp.clusters[j]
+            for l, bd in enumerate(cl.blocks):
+                ki, slot = dcl.layout[jslot][l]
+                hi, lo = read_block(mv, j, l, bd)
+                n_real = bd.n
+                arrs[ki][0][slot, :, :] = 0.0
+                for a in range(n_real, dcl.classes[ki].n):
+                    arrs[ki][0][slot, a, a] = 1.0
+                arrs[ki][0][slot, :n_real, :n_real] = hi
+                arrs[ki][1][slot, :n_real, :n_real] = lo
+        return [pad((h, l2)) for h, l2 in arrs]
 
     X = []
     Y = []
     Xs = []
     Ys = []
-    for j, cl in enumerate(sdp.clusters):
-        Xb, Yb = {}, {}
-        for l, bd in enumerate(cl.blocks):
-            Xb[l] = read_block(dualsol.matrixvars, j, l, bd)
-            Yb[l] = read_block(primalsol.matrixvars, j, l, bd)
-        X.append(pack_classes(j, cl, Xb))
-        Y.append(pack_classes(j, cl, Yb))
-        nb = cl.scalars.nblocks if cl.scalars is not None else 0
+    for g, dcl in enumerate(ds.clusters):
+        X.append(group_classes(dcl, dualsol.matrixvars))
+        Y.append(group_classes(dcl, primalsol.matrixvars))
+        nb = dcl.s_nb
         # padding entries stay at 1 (they are untouched identity blocks)
-        xsh = np.ones(nb)
-        xsl = np.zeros(nb)
-        ysh = np.ones(nb)
-        ysl = np.zeros(nb)
-        if cl.scalars is not None:
-            for bidx, (name, use_block) in enumerate(cl.scalars.names):
+        xsh = np.ones((dcl.J, nb))
+        xsl = np.zeros((dcl.J, nb))
+        ysh = np.ones((dcl.J, nb))
+        ysl = np.zeros((dcl.J, nb))
+        for jslot, j in enumerate(dcl.members_j):
+            sc = sdp.clusters[j].scalars
+            if sc is None:
+                continue
+            for bidx, (name, use_block) in enumerate(sc.names):
                 key = Block(name, 1, 1) if use_block else name
-                xsh[bidx], xsl[bidx] = to_dd(dualsol.matrixvars[key][0, 0])
-                ysh[bidx], ysl[bidx] = to_dd(primalsol.matrixvars[key][0, 0])
+                xsh[jslot, bidx], xsl[jslot, bidx] = \
+                    to_dd(dualsol.matrixvars[key][0, 0])
+                ysh[jslot, bidx], ysl[jslot, bidx] = \
+                    to_dd(primalsol.matrixvars[key][0, 0])
         Xs.append((jnp.asarray(xsh), jnp.asarray(xsl)))
         Ys.append((jnp.asarray(ysh), jnp.asarray(ysl)))
 

@@ -169,12 +169,19 @@ def _bmm_pre_l(b, pre, nw):
 
 @dataclasses.dataclass
 class _DevClass:
-    """A batch of same-size-class PSD blocks of one cluster."""
+    """A batch of same-size-class PSD blocks of one CLUSTER GROUP.
+
+    The leading block axis has length L = J * Lc: ``Lc`` same-shaped blocks
+    from each of the group's ``J`` stacked clusters, flattened
+    jslot-major. Per-block kernels never care about the cluster structure;
+    the Schur/trace contractions reshape to [J, Lc, ...] and reduce over
+    Lc only."""
 
     kind: str                    # 'lowrank' | 'dense'
-    L: int                       # batch size
+    L: int                       # total batch size (= J * Lc)
     n: int                       # padded block size
-    members: List[Tuple[int, int]]   # [(original block index, real n)]
+    Lc: int                      # blocks per cluster in this class
+    members: List[Tuple[int, int, int]]  # [(orig cluster j, block l, real n)]
     C: Any                       # dd [L, n, n]
     maskd: Any = None            # dtype [L, n, n]: 1 on the real area
     maskdiag: Any = None         # dtype [L, n]: 1 on real diagonal entries
@@ -199,18 +206,31 @@ class _DevClass:
 
 @dataclasses.dataclass
 class _DevCluster:
-    nrows: int
-    c: Any
-    B: Any
+    """A GROUP of J same-signature clusters, stacked on a leading [J] axis.
+
+    The reference parallelizes over clusters with `Threads.@threads for j`
+    (solver.jl:1244-1261, threadinginfo.jl:59-102); here same-shaped
+    clusters share ONE subgraph batched over [J] (cluster-level arrays)
+    and [J*Lc] (block classes) — compile time is flat in cluster count and
+    the mesh shards the [J] axis. A group of one (J=1) is the degenerate
+    case, so there is a single code path."""
+
+    J: int                       # number of stacked clusters
+    nrows: int                   # constraint rows P per cluster
+    members_j: List[int]         # original cluster indices, jslot order
+    c: Any                       # dd [J, P]
+    B: Any                       # dd [J, P, F]
     classes: List[_DevClass]
-    sa: Any = None               # dd [Bs, P] scalar-pack coefficients
-    sC: Any = None               # dd [Bs]
-    smask: Any = None            # dtype [Bs]: 1 real, 0 padding
-    s_nb: int = 0
-    s_nreal: int = 0
+    sa: Any = None               # dd [J, Bs, P] scalar-pack coefficients
+    sC: Any = None               # dd [J, Bs]
+    smask: Any = None            # dtype [J, Bs]: 1 real, 0 padding
+    jmask: Any = None            # dtype [J]: 1 real cluster, 0 padding
+    s_nb: int = 0                # scalar-pack width Bs per cluster
+    s_nreal: int = 0             # real 1x1 blocks in the whole group
     nw: int = 2                  # word count of the device expansion words
     dtype: Any = None            # working dtype of the expansion words
-    layout: List[Tuple[int, int]] = None  # original block l -> (class, slot)
+    # layout[jslot][l] -> (class index, flattened slot) per original block
+    layout: List[List[Tuple[int, int]]] = None
 
 
 def _col(v):
@@ -257,7 +277,8 @@ class DeviceSDP:
     substrate, since this chip's f64 is an unsound emulation while its f32
     is exactly IEEE (NOTES_TPU_NUMERICS.md)."""
 
-    def __init__(self, sdp: ClusteredLowRankSDP, nw: int = 2, dtype=None):
+    def __init__(self, sdp: ClusteredLowRankSDP, nw: int = 2, dtype=None,
+                 mesh_divisor: int = 1):
         self.nw = nw
         self.dtype = dtype = dtype or jnp.float64
         _dd = lambda a: _w(a, nw, dtype)  # noqa: E731
@@ -267,7 +288,10 @@ class DeviceSDP:
                             np.float64(sdp.constant.lo)), nw, dtype)
         self.b = _dd(sdp.b)
         self.nfree = sdp.nfree
-        self.clusters = []
+        self.mesh_divisor = d = max(1, int(mesh_divisor))
+
+        # ---- per-cluster host protos (numpy word tuples) ----------------
+        protos = []
         for cl in sdp.clusters:
             P = cl.nrows
             lowrank = [(l, bd) for l, bd in enumerate(cl.blocks)
@@ -282,7 +306,6 @@ class DeviceSDP:
                 n = max(bd.n for _, bd in group)
                 m = max(bd.V[0].shape[1] for _, bd in group)
                 T = max(bd.li.shape[1] for _, bd in group)
-                C = np.zeros((0,))
                 Cs, Vs, lams, lis, ris, tms = [], [], [], [], [], []
                 maskd = np.zeros((Lb, n, n))
                 maskdiag = np.zeros((Lb, n))
@@ -300,33 +323,12 @@ class DeviceSDP:
                     maskdiag[i, :bd.n] = 1.0
                 stack = lambda ws: tuple(np.stack([w[k] for w in ws])
                                          for k in range(len(ws[0])))
-                li = np.stack(lis).astype(np.int32)
-                ri = np.stack(ris).astype(np.int32)
-                tm = np.stack(tms)
-                # gathered term columns Ul[i, p*T+t, :] = tmask * V[:, li]
-                # (precomputed so sum_pt w_pt v_li v_ri^T becomes ONE GEMM
-                # per class instead of onehot-matrix products)
-                Vst = stack(Vs)
-                Ul = []
-                Ur = []
-                for wword in Vst:
-                    wl = np.zeros((Lb, P * T, n))
-                    wr = np.zeros((Lb, P * T, n))
-                    for i in range(Lb):
-                        wl[i] = wword[i].T[li[i].reshape(-1)] * \
-                            tm[i].reshape(-1)[:, None]
-                        wr[i] = wword[i].T[ri[i].reshape(-1)] * \
-                            tm[i].reshape(-1)[:, None]
-                    Ul.append(wl)
-                    Ur.append(wr)
-                classes.append(_DevClass(
-                    kind="lowrank", L=Lb, n=n, members=members,
-                    C=_dd(stack(Cs)), V=_dd(stack(Vs)), lam=_dd(stack(lams)),
-                    li=jnp.asarray(li), ri=jnp.asarray(ri),
-                    tmask=jnp.asarray(tm).astype(dtype),
-                    Ul=_dd(tuple(Ul)), Ur=_dd(tuple(Ur)),
-                    maskd=jnp.asarray(maskd).astype(dtype),
-                    maskdiag=jnp.asarray(maskdiag).astype(dtype)))
+                classes.append(dict(
+                    kind="lowrank", Lc=Lb, n=n, m=m, T=T, members=members,
+                    C=stack(Cs), V=stack(Vs), lam=stack(lams),
+                    li=np.stack(lis).astype(np.int32),
+                    ri=np.stack(ris).astype(np.int32),
+                    tm=np.stack(tms), maskd=maskd, maskdiag=maskdiag))
 
             # dense blocks: batch by identical size (no padding)
             bysize = {}
@@ -339,31 +341,189 @@ class DeviceSDP:
                 for i, (l, bd) in enumerate(group):
                     layout[l] = (len(classes), i)
                     members.append((l, n))
-                    Cs.append(bd.C)
-                    As.append(bd.A)
-                stack = lambda ws: tuple(np.stack([np.asarray(w[k]) for w in ws])
+                    Cs.append(tuple(np.asarray(w) for w in bd.C))
+                    As.append(tuple(np.asarray(w) for w in bd.A))
+                stack = lambda ws: tuple(np.stack([w[k] for w in ws])
                                          for k in range(len(ws[0])))
-                ones = np.ones((Lb, n, n))
-                classes.append(_DevClass(
-                    kind="dense", L=Lb, n=n, members=members,
-                    C=_dd(stack(Cs)), A=_dd(stack(As)),
-                    maskd=jnp.asarray(ones).astype(dtype),
-                    maskdiag=jnp.asarray(np.ones((Lb, n))).astype(dtype)))
+                classes.append(dict(
+                    kind="dense", Lc=Lb, n=n, members=members,
+                    C=stack(Cs), A=stack(As),
+                    maskd=np.ones((Lb, n, n)),
+                    maskdiag=np.ones((Lb, n))))
+            protos.append(dict(
+                P=P, layout=layout, classes=classes,
+                c=tuple(np.asarray(w) for w in cl.c),
+                B=tuple(np.asarray(w) for w in cl.B),
+                scalars=cl.scalars))
 
-            dc = _DevCluster(nrows=P, c=_dd(cl.c), B=_dd(cl.B),
-                             classes=classes, nw=nw, dtype=dtype,
-                             layout=layout)
-            if cl.scalars is not None:
-                dc.sa = _dd(cl.scalars.a)
-                dc.sC = _dd(cl.scalars.C)
-                dc.smask = jnp.asarray(cl.scalars.mask).astype(dtype)
-                dc.s_nb = cl.scalars.nblocks
-                dc.s_nreal = cl.scalars.nreal
+        # ---- group same-signature clusters ------------------------------
+        def _sig(pr):
+            cs = tuple((k["kind"], k["Lc"], k["n"],
+                        k.get("m", 0), k.get("T", 0))
+                       for k in pr["classes"])
+            sc = pr["scalars"]
+            return (pr["P"], cs, 0 if sc is None else sc.nblocks)
+
+        groups: dict = {}
+        for j, pr in enumerate(protos):
+            groups.setdefault(_sig(pr), []).append(j)
+
+        def _pad_words(ws, shape):
+            return tuple(_pad2(np.asarray(w), shape) for w in ws)
+
+        self.clusters = []
+        self.cluster_of = {}
+        for sig, js in groups.items():
+            J = len(js)
+            base = protos[js[0]]
+            P = base["P"]
+            nwc = len(base["c"])
+            # cluster-axis padding: append fake (all-zero, masked) clusters
+            # so [J] shards over a mesh of size d; their Schur block is
+            # regularized to I so chol(S) succeeds and their dx stays 0.
+            Jp = J if (d <= 1 or J < d) else -(-J // d) * d
+            # block-axis padding: pad Lc per cluster so J*Lc' % d == 0
+            # (only when the cluster axis itself is not shardable)
+            def _pad_lc(Lc):
+                if d <= 1 or Jp % d == 0:
+                    return Lc
+                Lcp = Lc
+                while (Jp * Lcp) % d:
+                    Lcp += 1
+                return Lcp
+            for jslot, j in enumerate(js):
+                self.cluster_of[j] = (len(self.clusters), jslot)
+            classes = []
+            for ki in range(len(base["classes"])):
+                prs = [protos[j]["classes"][ki] for j in js]
+                k0 = prs[0]
+                Lc, n = k0["Lc"], k0["n"]
+                Lcp = _pad_lc(Lc)
+                members = []
+                for jslot, (j, pk) in enumerate(zip(js, prs)):
+                    for (l, rn) in pk["members"]:
+                        members.append((j, l, rn))
+
+                def cat(key, pad_shape=None, int_=False, words=True):
+                    parts = []
+                    for pk in prs:
+                        a = pk[key]
+                        if words:
+                            a = tuple(np.asarray(w) for w in a)
+                            if Lcp != Lc:
+                                a = tuple(_pad2(w, (Lcp,) + w.shape[1:])
+                                          for w in a)
+                        else:
+                            a = np.asarray(a)
+                            if Lcp != Lc:
+                                a = _pad2(a, (Lcp,) + a.shape[1:])
+                        parts.append(a)
+                    # fake clusters: zeros
+                    for _ in range(Jp - J):
+                        if words:
+                            parts.append(tuple(np.zeros_like(w)
+                                               for w in parts[0]))
+                        else:
+                            parts.append(np.zeros_like(parts[0]))
+                    if words:
+                        return tuple(np.concatenate([p[w] for p in parts])
+                                     for w in range(len(parts[0])))
+                    return np.concatenate(parts)
+
+                common = dict(
+                    kind=k0["kind"], L=Jp * Lcp, Lc=Lcp, n=n,
+                    members=members, C=_dd(cat("C")),
+                    maskd=jnp.asarray(cat("maskd", words=False)).astype(dtype),
+                    maskdiag=jnp.asarray(
+                        cat("maskdiag", words=False)).astype(dtype))
+                if k0["kind"] == "lowrank":
+                    li = cat("li", words=False).astype(np.int32)
+                    ri = cat("ri", words=False).astype(np.int32)
+                    tm = cat("tm", words=False)
+                    Vw = cat("V")
+                    T = k0["T"]
+                    # gathered term columns Ul[i, p*T+t, :] = tmask * V[:, li]
+                    # (precomputed so sum_pt w_pt v_li v_ri^T becomes ONE
+                    # GEMM per class instead of onehot-matrix products)
+                    Ul, Ur = [], []
+                    for wword in Vw:
+                        wl = np.zeros((Jp * Lcp, P * T, n))
+                        wr = np.zeros((Jp * Lcp, P * T, n))
+                        for i in range(Jp * Lcp):
+                            wl[i] = wword[i].T[li[i].reshape(-1)] * \
+                                tm[i].reshape(-1)[:, None]
+                            wr[i] = wword[i].T[ri[i].reshape(-1)] * \
+                                tm[i].reshape(-1)[:, None]
+                        Ul.append(wl)
+                        Ur.append(wr)
+                    common.update(
+                        V=_dd(Vw), lam=_dd(cat("lam")),
+                        li=jnp.asarray(li), ri=jnp.asarray(ri),
+                        tmask=jnp.asarray(tm).astype(dtype),
+                        Ul=_dd(tuple(Ul)), Ur=_dd(tuple(Ur)))
+                else:
+                    common.update(A=_dd(cat("A")))
+                classes.append(_DevClass(**common))
+
+            def stackj(key):
+                parts = [tuple(np.asarray(w) for w in protos[j][key])
+                         for j in js]
+                for _ in range(Jp - J):
+                    parts.append(tuple(np.zeros_like(w) for w in parts[0]))
+                return tuple(np.stack([p[w] for p in parts])
+                             for w in range(len(parts[0])))
+
+            layout = [protos[j]["layout"] for j in js]
+            # offset per-cluster slots into the flattened [J*Lc] class axes
+            Lcps = [k.Lc for k in classes]
+            layout = [[(ki, jslot * Lcps[ki] + slot)
+                       for (ki, slot) in lay]
+                      for jslot, lay in enumerate(layout)]
+            jmask = np.zeros(Jp)
+            jmask[:J] = 1.0
+            dc = _DevCluster(
+                J=Jp, nrows=P, members_j=list(js), c=_dd(stackj("c")),
+                B=_dd(stackj("B")), classes=classes, nw=nw, dtype=dtype,
+                layout=layout,
+                jmask=jnp.asarray(jmask).astype(dtype))
+            scs = [protos[j]["scalars"] for j in js]
+            if scs[0] is not None:
+                Bs = scs[0].nblocks
+                Bsp = Bs if d <= 1 or Jp % d == 0 else -(-Bs // d) * d
+
+                def scat(key, words=True):
+                    parts = []
+                    for sc in scs:
+                        a = getattr(sc, key)
+                        if words:
+                            a = tuple(_pad2(np.asarray(w),
+                                            (Bsp,) + np.asarray(w).shape[1:])
+                                      for w in a)
+                        else:
+                            a = _pad2(np.asarray(a), (Bsp,))
+                        parts.append(a)
+                    for _ in range(Jp - J):
+                        if words:
+                            parts.append(tuple(np.zeros_like(w)
+                                               for w in parts[0]))
+                        else:
+                            parts.append(np.zeros_like(parts[0]))
+                    if words:
+                        return tuple(np.stack([p[w] for p in parts])
+                                     for w in range(len(parts[0])))
+                    return np.stack(parts)
+
+                dc.sa = _dd(scat("a"))
+                dc.sC = _dd(scat("C"))
+                dc.smask = jnp.asarray(scat("mask", words=False)).astype(dtype)
+                dc.s_nb = Bsp
+                dc.s_nreal = sum(sc.nreal for sc in scs)
             self.clusters.append(dc)
         self.total_size = sum(rn for cl in self.clusters for k in cl.classes
-                              for _, rn in k.members) \
+                              for _, _, rn in k.members) \
             + sum(cl.s_nreal for cl in self.clusters)
-        self.total_rows = sum(cl.nrows for cl in self.clusters)
+        self.total_rows = sum(len(cl.members_j) * cl.nrows
+                              for cl in self.clusters)
         if dtype == jnp.float32:
             self._precompute_limb_forms()
 
@@ -416,12 +576,14 @@ def initial_state(ds: DeviceSDP, omega_p: float, omega_d: float):
         w0 = jnp.eye(k.n, dtype=dt) * dv[:, None, :]
         return (w0,) + tuple(jnp.zeros_like(w0) for _ in range(nw - 1))
 
-    x = [dl.dd_zeros((cl.nrows,), nw, dtype=dt) for cl in ds.clusters]
+    x = [dl.dd_zeros((cl.J, cl.nrows), nw, dtype=dt) for cl in ds.clusters]
     y = dl.dd_zeros((ds.nfree,), nw, dtype=dt)
     X = [[eyes(k, omega_p) for k in cl.classes] for cl in ds.clusters]
     Y = [[eyes(k, omega_d) for k in cl.classes] for cl in ds.clusters]
-    Xs = [_scalar(omega_p * jnp.ones(cl.s_nb), nw, dt) for cl in ds.clusters]
-    Ys = [_scalar(omega_d * jnp.ones(cl.s_nb), nw, dt) for cl in ds.clusters]
+    Xs = [_scalar(omega_p * jnp.ones((cl.J, cl.s_nb)), nw, dt)
+          for cl in ds.clusters]
+    Ys = [_scalar(omega_d * jnp.ones((cl.J, cl.s_nb)), nw, dt)
+          for cl in ds.clusters]
     return {"x": x, "y": y, "X": X, "Y": Y, "Xs": Xs, "Ys": Ys}
 
 
@@ -466,40 +628,44 @@ def _gather_b(PM, li, ri):
 
 
 def _trace_A_cluster(cl: _DevCluster, Zs, Zsc, panels=None):
-    """[<A_p, Z>]_p for all rows of one cluster (solver.jl:1289-1366).
-    ``panels`` (optional, per class) short-circuits the V^T Z V pairing
-    when the caller already holds it."""
-    tot = dl.dd_zeros((cl.nrows,), cl.nw, dtype=cl.dtype)
+    """[<A_p, Z>]_p -> dd [J, P] for all rows of a cluster group
+    (solver.jl:1289-1366). ``panels`` (optional, per class) short-circuits
+    the V^T Z V pairing when the caller already holds it."""
+    J, P = cl.J, cl.nrows
+    tot = dl.dd_zeros((J, P), cl.nw, dtype=cl.dtype)
     for ki, (k, Z) in enumerate(zip(cl.classes, Zs)):
         if k.kind == "lowrank":
             PZ = panels[ki] if panels is not None and panels[ki] is not None \
-                else _panel_b(k, Z)                   # [L, m, m]
-            g = _gather_b(PZ, k.li, k.ri)             # [L, P, T]
+                else _panel_b(k, Z)                   # [J*Lc, m, m]
+            g = _gather_b(PZ, k.li, k.ri)             # [J*Lc, P, T]
             v = dd_mul(k.lam, g)
             v = _dd_scale(v, k.tmask)
-            s = dl.dd_sum(tuple(c.reshape(-1, cl.nrows)
-                                for c in dl.cmap(
-                                    lambda c: jnp.moveaxis(c, 1, 2), v)),
-                          axis=0)
+            # reduce over this cluster's Lc blocks and T terms only
+            s = dl.dd_sum(tuple(
+                jnp.moveaxis(c, 1, 2).reshape(J, -1, P) for c in v), axis=1)
             tot = dd_add(tot, s)
         else:
-            prod = dd_mul(k.A, tuple(c[:, None] for c in Z))   # [L, P, n, n]
-            flat = tuple(jnp.moveaxis(c, 1, 0).reshape(cl.nrows, -1)
-                         for c in prod)
-            tot = dd_add(tot, dl.dd_sum(flat, axis=1))
+            prod = dd_mul(k.A, tuple(c[:, None] for c in Z))  # [J*Lc,P,n,n]
+            flat = tuple(
+                jnp.moveaxis(c.reshape(J, k.Lc, P, k.n, k.n), 2, 1)
+                .reshape(J, P, -1) for c in prod)
+            tot = dd_add(tot, dl.dd_sum(flat, axis=2))
     if cl.s_nb:
-        r = dl.dd_matmul(tuple(c[None, :] for c in Zsc), cl.sa)
-        tot = dd_add(tot, tuple(c[0] for c in r))
+        r = _bmm(tuple(c[:, None, :] for c in Zsc), cl.sa)  # [J,1,P]
+        tot = dd_add(tot, tuple(c[:, 0] for c in r))
     return tot
 
 
 def _weighted_A_cluster(cl: _DevCluster, a):
-    """sum_p a_p A_p per class + scalar pack (solver.jl:1409-1470)."""
+    """sum_p a_p A_p per class + scalar pack (solver.jl:1409-1470).
+    ``a`` is dd [J, P]; per-block output batches are [J*Lc, n, n]."""
     out = []
     for k in cl.classes:
         if k.kind == "lowrank":
             L, P, T = k.li.shape
-            w = dd_mul(k.lam, tuple(c[None, :, None] for c in a))
+            # a[jslot] broadcast to that cluster's Lc blocks (jslot-major)
+            ab = tuple(jnp.repeat(c, k.Lc, axis=0)[:, :, None] for c in a)
+            w = dd_mul(k.lam, ab)
             w = _dd_scale(w, k.tmask)
             wf = tuple(c.reshape(L, P * T, 1) for c in w)
             # sum_pt w_pt v_li v_ri^T = (Ul o w)^T @ Ur: one GEMM per class
@@ -509,21 +675,23 @@ def _weighted_A_cluster(cl: _DevCluster, a):
             else:
                 out.append(_bmm(dl.dd_transpose_b(wUl), k.Ur))  # [L, n, n]
         else:
-            prod = dd_mul(k.A, tuple(c[None, :, None, None] for c in a))
-            out.append(dl.dd_sum(prod, axis=1))                 # [L, n, n]
+            ab = tuple(jnp.repeat(c, k.Lc, axis=0)[:, :, None, None]
+                       for c in a)
+            prod = dd_mul(k.A, ab)
+            out.append(dl.dd_sum(prod, axis=1))                 # [J*Lc, n, n]
     if cl.s_nb:
-        r = dl.dd_matmul(cl.sa, _col(a))
-        out_s = _col0(r)
+        r = _bmm(cl.sa, tuple(c[:, :, None] for c in a))        # [J, Bs, 1]
+        out_s = tuple(c[:, :, 0] for c in r)
     else:
-        out_s = dl.dd_zeros((0,), cl.nw, dtype=cl.dtype)
+        out_s = dl.dd_zeros((cl.J, 0), cl.nw, dtype=cl.dtype)
     return out, out_s
 
 
 def _schur_cluster(cl: _DevCluster, Xinvs, Ys, Xinv_s, Y_s, panels=None):
     """S^j (upper triangle mirrored), solver.jl:1062-1226. ``panels``
     (optional, per class) supplies precomputed (V^T X^-1 V, V^T Y V)."""
-    P = cl.nrows
-    S = dl.dd_zeros((P, P), cl.nw, dtype=cl.dtype)
+    J, P = cl.J, cl.nrows
+    S = dl.dd_zeros((J, P, P), cl.nw, dtype=cl.dtype)
     for ki, (k, Xinv, Y) in enumerate(zip(cl.classes, Xinvs, Ys)):
         if k.kind == "lowrank":
             if panels is not None and panels[ki] is not None:
@@ -558,7 +726,9 @@ def _schur_cluster(cl: _DevCluster, Xinvs, Ys, Xinv_s, Y_s, panels=None):
                 lam1 = tuple(c[:, :, t1, None] for c in k.lam)
                 term = dd_mul(lam1, inner)
                 contrib = term if contrib is None else dd_add(contrib, term)
-            S = dd_add(S, dl.dd_sum(contrib, axis=0))
+            # reduce over each cluster's Lc blocks only -> [J, P, P]
+            S = dd_add(S, dl.dd_sum(tuple(
+                c.reshape(J, k.Lc, P, P) for c in contrib), axis=1))
         else:
             LP = k.L * P
             Af = tuple(c.reshape(LP, k.n, k.n) for c in k.A)
@@ -569,12 +739,15 @@ def _schur_cluster(cl: _DevCluster, Xinvs, Ys, Xinv_s, Y_s, panels=None):
             XAYb = tuple(c.reshape(k.L, P, k.n, k.n) for c in XAY)
             prod = dd_mul(tuple(c[:, :, None] for c in k.A),
                           tuple(c[:, None] for c in XAYb))      # [L,P,P,n,n]
-            flat = tuple(c.reshape(k.L, P, P, -1) for c in prod)
-            S = dd_add(S, dl.dd_sum(dl.dd_sum(flat, axis=3), axis=0))
+            flat = tuple(c.reshape(J, k.Lc, P, P, -1) for c in prod)
+            S = dd_add(S, dl.dd_sum(dl.dd_sum(flat, axis=4), axis=1))
     if cl.s_nb:
-        w = dd_mul(Xinv_s, Y_s)                      # [Bs]
-        t = dd_mul(cl.sa, _col(w))
-        S = dd_add(S, dl.dd_matmul(dl.dd_transpose(cl.sa), t))
+        w = dd_mul(Xinv_s, Y_s)                      # [J, Bs]
+        t = dd_mul(cl.sa, tuple(c[:, :, None] for c in w))
+        S = dd_add(S, _bmm(dl.dd_transpose_b(cl.sa), t))
+    # fake padding clusters carry S = I so chol(S) stays well-posed
+    S = (S[0] + (1.0 - cl.jmask)[:, None, None]
+         * jnp.eye(P, dtype=S[0].dtype),) + S[1:]
     # keep the upper triangle, mirror it (reference: symmetric!(S), q>=p only)
     iu = jnp.triu(jnp.ones((P, P), dtype=bool))
     return tuple(jnp.where(iu, c, jnp.swapaxes(c, -1, -2)) for c in S)
@@ -619,16 +792,20 @@ def _residuals(ds: DeviceSDP, state, panelsY=None):
             Ps = dd_sub(dd_sub(wA_s, state["Xs"][j]), _dd_scale(cl.sC, ds.sign))
             Pres_s.append(_dd_scale(Ps, cl.smask))
         else:
-            Pres_s.append(dl.dd_zeros((0,), ds.nw, dtype=ds.dtype))
-        By = dl.dd_matmul(cl.B, _col(y))
-        d_j = dd_sub(dd_sub(cl.c, _col0(By)),
+            Pres_s.append(dl.dd_zeros((cl.J, 0), ds.nw, dtype=ds.dtype))
+        yb = tuple(jnp.broadcast_to(c[None, :, None],
+                                    (cl.J, c.shape[0], 1)) for c in y)
+        By = _bmm(cl.B, yb)                                     # [J, P, 1]
+        d_j = dd_sub(dd_sub(cl.c, tuple(c[:, :, 0] for c in By)),
                      _trace_A_cluster(cl, state["Y"][j], state["Ys"][j],
                                       panels=None if panelsY is None
                                       else panelsY[j]))
         dres.append(d_j)
     pres = _dd_scale(ds.b, ds.sign)
     for j, cl in enumerate(ds.clusters):
-        Btx = dl.dd_matmul(dl.dd_transpose(cl.B), _col(x[j]))
+        Bf = tuple(c.reshape(cl.J * cl.nrows, -1) for c in cl.B)
+        xf = tuple(c.reshape(cl.J * cl.nrows, 1) for c in x[j])
+        Btx = dl.dd_matmul(dl.dd_transpose(Bf), xf)
         pres = dd_sub(pres, _col0(Btx))
     return Pres, Pres_s, pres, dres
 
@@ -926,9 +1103,10 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
             cholX.append(lc)
             if cl.s_nb:
                 ok = ok & jnp.all(Xs[j][0] > 0)
-                Xinv_s.append(dd_div(_scalar(jnp.ones(cl.s_nb), nw, dt), Xs[j]))
+                Xinv_s.append(dd_div(_scalar(jnp.ones((cl.J, cl.s_nb)),
+                                             nw, dt), Xs[j]))
             else:
-                Xinv_s.append(dl.dd_zeros((0,), nw, dtype=dt))
+                Xinv_s.append(dl.dd_zeros((cl.J, 0), nw, dtype=dt))
 
         # XY products (shared by the predictor and corrector R) and the
         # bilinear pairing panels (shared by Schur and the d-residual)
@@ -985,13 +1163,15 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
                     Rc.append(_dd_scale(Rb, k.maskd))
                 Rs.append(Rc)
                 if cl.s_nb:
-                    Rb = dd_sub(dd_mul(mu_val, _scalar(jnp.ones(cl.s_nb), nw, dt)),
+                    Rb = dd_sub(dd_mul(mu_val,
+                                       _scalar(jnp.ones((cl.J, cl.s_nb)),
+                                               nw, dt)),
                                 dd_mul(Xs[j], Ys[j]))
                     if corr is not None:
                         Rb = dd_sub(Rb, dd_mul(corr[2][j], corr[3][j]))
                     Rs_s.append(_dd_scale(Rb, cl.smask))
                 else:
-                    Rs_s.append(dl.dd_zeros((0,), nw, dtype=dt))
+                    Rs_s.append(dl.dd_zeros((cl.J, 0), nw, dtype=dt))
             return Rs, Rs_s
 
         R, R_s = _residual_R(mu_p)
@@ -1001,15 +1181,21 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
         for j, cl in enumerate(ds.clusters):
             S = _schur_cluster(cl, Xinv[j], Y[j], Xinv_s[j], Ys[j],
                                panels=panels[j])
-            L, okb = dl.s_cholesky(S)
+            L, okb = dl.b_cholesky(S)
+            okb = jnp.all(okb)
             ok = ok & okb
             ok_S = ok_S & okb
-            LinvB = dl.s_solve_tril(L, cl.B)
+            LinvB = dl.b_solve_tril(L, cl.B)                    # [J, P, F]
             cholSs.append(L)
             LinvBs.append(LinvB)
         Q = dl.dd_zeros((ds.nfree, ds.nfree), nw, dtype=dt)
         for LinvB in LinvBs:
-            Q = dd_add(Q, dl.dd_matmul(dl.dd_transpose(LinvB), LinvB))
+            # Q = sum_j LinvB_j^T LinvB_j as ONE GEMM over the vcat of all
+            # clusters in the group (the reference's vcat+GEMM,
+            # solver.jl:1264-1271); across groups it stays an accumulation
+            Bf = tuple(c.reshape(c.shape[0] * c.shape[1], c.shape[2])
+                       for c in LinvB)
+            Q = dd_add(Q, dl.dd_matmul(dl.dd_transpose(Bf), Bf))
         cholQ, okq = dl.s_cholesky(Q)
         ok = ok & okq
 
@@ -1034,28 +1220,32 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
                     Zs_s.append(dd_mul(Xinv_s[j],
                                        dd_sub(dd_mul(Pres_s[j], Ys[j]), Rcur_s[j])))
                 else:
-                    Zs_s.append(dl.dd_zeros((0,), nw, dtype=dt))
+                    Zs_s.append(dl.dd_zeros((cl.J, 0), nw, dtype=dt))
             # rhs_x = -d - <A_*, Z>  (solver.jl:1519-1525)
             rhs_x = []
             for j, cl in enumerate(ds.clusters):
                 tA = _trace_A_cluster(cl, Zs[j], Zs_s[j])
                 rhs_x.append(dd_sub(dd_neg(dres[j]), tA))
-            # 3-stage triangular solve (solver.jl:1527-1582)
+            # 3-stage triangular solve (solver.jl:1527-1582); per-cluster
+            # solves batch over the group's [J] axis
             temp_x, temp_y = [], []
             for j, cl in enumerate(ds.clusters):
-                tx = dl.s_solve_tril(cholSs[j], _col(rhs_x[j]))
-                ty = dl.dd_matmul(dl.dd_transpose(LinvBs[j]), tx)
+                tx = dl.b_solve_tril(cholSs[j],
+                                     tuple(c[:, :, None] for c in rhs_x[j]))
+                ty = _bmm(dl.dd_transpose_b(LinvBs[j]), tx)     # [J, F, 1]
                 temp_x.append(tx)
                 temp_y.append(ty)
             dy = _col(pres)
             for ty in temp_y:
-                dy = dd_sub(dy, ty)
+                dy = dd_sub(dy, dl.dd_sum(ty, axis=0))
             dy = dl.s_solve_cholesky(cholQ, dy)
             dx = []
             for j, cl in enumerate(ds.clusters):
-                t = dd_add(temp_x[j], dl.dd_matmul(LinvBs[j], dy))
-                dxj = dl.s_solve_tril_t(cholSs[j], t)
-                dx.append(_col0(dxj))
+                dyb = tuple(jnp.broadcast_to(c[None], (cl.J,) + c.shape)
+                            for c in dy)
+                t = dd_add(temp_x[j], _bmm(LinvBs[j], dyb))
+                dxj = dl.b_solve_tril_t(cholSs[j], t)           # [J, P, 1]
+                dx.append(tuple(c[:, :, 0] for c in dxj))
             dy = _col0(dy)
             # dX = sum_i dx_i A_i + P (solver.jl:1585-1594)
             dX, dXs = [], []
@@ -1063,7 +1253,7 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
                 wA, wA_s = _weighted_A_cluster(cl, dx[j])
                 dX.append([dd_add(w, Pb) for w, Pb in zip(wA, Pres[j])])
                 dXs.append(dd_add(wA_s, Pres_s[j]) if cl.s_nb
-                           else dl.dd_zeros((0,), nw, dtype=dt))
+                           else dl.dd_zeros((cl.J, 0), nw, dtype=dt))
             # dY = X^-1 (R - dX Y), symmetrized (solver.jl:1597-1613)
             dY, dYs = [], []
             for j, cl in enumerate(ds.clusters):
@@ -1077,7 +1267,7 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
                     dYs.append(dd_mul(Xinv_s[j],
                                       dd_sub(Rcur_s[j], dd_mul(dXs[j], Ys[j]))))
                 else:
-                    dYs.append(dl.dd_zeros((0,), nw, dtype=dt))
+                    dYs.append(dl.dd_zeros((cl.J, 0), nw, dtype=dt))
             return dx, dy, dX, dY, dXs, dYs
 
         # predictor (solver.jl:420-425)

@@ -62,10 +62,11 @@ def phase_breakdown(ds, state, reps: int = 3) -> Dict[str, float]:
     Xinv_s = []
     for j, cl in enumerate(ds.clusters):
         if cl.s_nb:
-            Xinv_s.append(dd_div(_st._scalar(jnp.ones(cl.s_nb), nw, dt),
+            Xinv_s.append(dd_div(_st._scalar(jnp.ones((cl.J, cl.s_nb)),
+                                             nw, dt),
                                  state["Xs"][j]))
         else:
-            Xinv_s.append(dl.dd_zeros((0,), nw, dtype=dt))
+            Xinv_s.append(dl.dd_zeros((cl.J, 0), nw, dtype=dt))
 
     @jax.jit
     def schur(Xinv, state):
@@ -79,14 +80,16 @@ def phase_breakdown(ds, state, reps: int = 3) -> Dict[str, float]:
     def kkt(Ss):
         cholSs, LinvBs = [], []
         for j, cl in enumerate(ds.clusters):
-            L, _ = dl.s_cholesky(Ss[j])
+            L, _ = dl.b_cholesky(Ss[j])
             cholSs.append(L)
-            LinvBs.append(dl.s_solve_tril(L, cl.B))
+            LinvBs.append(dl.b_solve_tril(L, cl.B))
         Q = dl.dd_zeros((ds.nfree, ds.nfree), nw, dtype=dt)
         from ..dd.core import dd_add
 
         for LinvB in LinvBs:
-            Q = dd_add(Q, dl.dd_matmul(dl.dd_transpose(LinvB), LinvB))
+            Bf = tuple(c.reshape(c.shape[0] * c.shape[1], c.shape[2])
+                       for c in LinvB)
+            Q = dd_add(Q, dl.dd_matmul(dl.dd_transpose(Bf), Bf))
         cholQ, _ = dl.s_cholesky(Q)
         return cholSs, LinvBs, cholQ
 
