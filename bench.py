@@ -1,6 +1,6 @@
 """Benchmark: IPM iterations/s on the Delsarte LP bound (BASELINE.json config 3).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference repo's only timing datapoint is ~18 ms/iteration
 (~55.6 it/s) for the polyopt example on the authors' machine
@@ -11,6 +11,12 @@ reference publishes no delsarte timing). BASELINE.md asks for a locally-run
 Julia reference on the same problem, but this image ships no Julia
 toolchain, so the published datapoint remains the only anchor.
 
+A SECOND metric goes to stderr (so the driver's stdout parse stays a
+single JSON line): delsarte(3,127) ms/iter — P=255 constraint rows and
+128-dim SOS blocks, where the Schur assembly + chol(S) dominate
+(the reference's hot-loop ranking, src/solver.jl:531-540). This measures
+MXU-scale throughput, not dispatch latency.
+
 Runs on whatever accelerator JAX picks (the real TPU chip under the driver),
 using the numerically sound substrate for that backend: n-word f32
 expansions with exact int8-limb MXU GEMMs on TPU (where the emulated f64 is
@@ -20,8 +26,10 @@ unsound f64-emulation graph; see NOTES_TPU_NUMERICS.md).
 """
 
 import json
+import sys
 import time
 from fractions import Fraction
+from pathlib import Path
 
 import jax
 
@@ -30,19 +38,17 @@ from clrs_tpu.compile.sdp import ClusteredLowRankSDP
 from clrs_tpu.solver.step import (DeviceSDP, initial_state, make_run_chunk,
                                   zero_info)
 
-import sys
-from pathlib import Path
-
 sys.path.insert(0, str(Path(__file__).resolve().parent / "examples"))
 from delsarte import delsarte_problem  # noqa: E402
 
 BASELINE_ITERS_PER_S = 1000.0 / 18.0  # reference: ~18 ms/iter
 
 
-def main():
+def bench_problem(problem, n_iters=20):
+    """Time ``n_iters`` committed IPM iterations in ONE device dispatch;
+    returns iterations/s."""
     import jax.numpy as jnp
 
-    problem = delsarte_problem(3, 10, Fraction(1, 2))
     sdp = ClusteredLowRankSDP(problem)
     if jax.default_backend() == "tpu":
         ds = DeviceSDP(sdp, nw=5, dtype=jnp.float32)
@@ -68,7 +74,6 @@ def main():
     state, feas, info, itd, code, done = run(state, feas, info, 1)
     jax.block_until_ready(state["x"][0][0])
 
-    n_iters = 20
     t0 = time.time()
     state, feas, info, itd, code, done = run(state, feas, info, n_iters)
     jax.block_until_ready(state["x"][0][0])
@@ -76,13 +81,32 @@ def main():
 
     assert int(itd) == n_iters and int(code) == 0, \
         f"benchmark chunk stopped early (it={int(itd)}, code={int(code)})"
-    value = n_iters / dt
-    print(json.dumps({
+    return n_iters / dt
+
+
+def main():
+    # headline: latency-bound tiny problem vs the reference's ~18 ms/iter
+    value = bench_problem(delsarte_problem(3, 10, Fraction(1, 2)))
+    result = json.dumps({
         "metric": "ipm_iterations_per_s_delsarte_3_10",
         "value": value,
         "unit": "iterations/s",
         "vs_baseline": value / BASELINE_ITERS_PER_S,
-    }))
+    })
+
+    # Schur-dominated scale metric (stderr; see module docstring)
+    try:
+        v2 = bench_problem(delsarte_problem(3, 127, Fraction(1, 2)),
+                           n_iters=10)
+        print(json.dumps({
+            "metric": "ipm_ms_per_iter_delsarte_3_127_schur_dominated",
+            "value": 1000.0 / v2,
+            "unit": "ms/iteration",
+        }), file=sys.stderr)
+    except Exception as e:  # the headline metric must survive regardless
+        print(f"schur-dominated bench failed: {e!r}", file=sys.stderr)
+
+    print(result)
 
 
 if __name__ == "__main__":

@@ -91,6 +91,17 @@ def _unroll():
     return jax.default_backend() == "tpu"
 
 
+# test override: force (True) / disable (False) the Pallas cascade kernel
+# (the TPU default); CPU tests force it through the Pallas interpreter
+_USE_PLCASCADE = None
+
+
+def _use_plcascade():
+    if _USE_PLCASCADE is not None:
+        return _USE_PLCASCADE
+    return jax.default_backend() == "tpu"
+
+
 def _extract_limbs(words, L):
     """Split a scaled f32 expansion (|value| <= ~1/2) into L int8 limbs.
 
@@ -175,6 +186,15 @@ def fx_matmul(a, b, nw=None, pre_a=None, pre_b=None):
 
     # cascade into an (nw+2)-word expansion, most significant first
     eab = (ea + eb).astype(jnp.int32)            # (M,N)
+
+    if _use_plcascade():
+        # whole cascade + renorm as ONE Pallas kernel (the unrolled XLA
+        # form below costs ~ndiag*25 whole-tensor ops; see
+        # pallas_linalg.pl_cascade) — bit-identical EFT sequence
+        from .pallas_linalg import pl_cascade
+
+        eab_b = jnp.broadcast_to(eab, (m, n))
+        return pl_cascade(diags, eab_b, nw, LIMB_BITS)
 
     def body(acc, dt_):
         d, tile = dt_

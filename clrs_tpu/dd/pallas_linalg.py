@@ -273,6 +273,91 @@ def pl_solve_tril_t_b(l, b):
     return unstack_words(out)
 
 
+@functools.lru_cache(maxsize=None)
+def _cascade_call(nw, ndiag, m, n, limb_bits):
+    """Pallas kernel: the fx_matmul diagonal cascade (limb_gemm.py:176-209)
+    as ONE kernel — the unrolled XLA form costs ~ndiag*25 whole-tensor ops
+    (~0.35us each on this chip), the dominant elementwise cost of every
+    expansion GEMM."""
+    from . import expops as E
+
+    def _mul_pow2(x, e):
+        # x * 2^e, e int32 [m,n]; exact (limb_gemm.mul_pow2_f32, Mosaic-safe
+        # bit construction on vectors)
+        out = x
+        rem = e
+        for _ in range(4):
+            # pinned int32 bounds: weak Python-int consts become i64 under
+            # x64 and Mosaic's i64->i32 convert lowering recurses forever
+            h = jnp.clip(rem, np.int32(-126), np.int32(126))
+            # int32 -> uint32 via BITCAST (identical bits for the positive
+            # exponents here); Mosaic's convert_element_type lowering
+            # recurses infinitely on signed->unsigned converts
+            hb = jax.lax.bitcast_convert_type(h + np.int32(127), jnp.uint32)
+            bits = hb << np.uint32(23)
+            out = out * jax.lax.bitcast_convert_type(bits, jnp.float32)
+            rem = rem - h
+        return out
+
+    def _vsum(cs):
+        n_ = len(cs)
+        out = [None] * n_
+        s = cs[n_ - 1]
+        for i in range(n_ - 2, -1, -1):
+            s, e = E.two_sum(cs[i], s)
+            out[i + 1] = e
+        out[0] = s
+        return out
+
+    def kernel(d_ref, e_ref, out_ref):
+        eab = e_ref[0, 0]
+        acc = [jnp.zeros((m, n), jnp.float32) for _ in range(nw + 2)]
+        for d in range(ndiag):
+            tile = d_ref[0, d]
+            hi_i = tile >> np.int32(15)
+            lo_i = tile - (hi_i << np.int32(15))
+            sc = eab - np.int32(limb_bits * (d + 2))
+            hi = _mul_pow2(hi_i.astype(jnp.float32)
+                           * np.float32(1 << 15), sc)
+            lo = _mul_pow2(lo_i.astype(jnp.float32), sc)
+            cs = _vsum(acc + [hi, lo])
+            low = cs[-2] + cs[-1]
+            cs = cs[:-2]
+            cs[-1] = cs[-1] + low
+            acc = cs
+        cs = _vsum(_vsum(acc))
+        out = list(cs[:nw])
+        out[-1] = out[-1] + (cs[nw] + cs[nw + 1])
+        for w in range(nw):
+            out_ref[0, w] = out[w]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[pl.BlockSpec((1, ndiag, m, n),
+                               lambda i: (i, np.int32(0), np.int32(0), np.int32(0)),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, m, n),
+                               lambda i: (i, np.int32(0), np.int32(0), np.int32(0)),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, nw, m, n),
+                               lambda i: (i, np.int32(0), np.int32(0), np.int32(0)),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, nw, m, n), jnp.float32),
+        interpret=_interpret(),
+    )
+
+
+def pl_cascade(diags, eab, nw, limb_bits):
+    """diags int32 [ndiag, m, n], eab int32 [m, n] -> nw-word f32 tuple.
+    Bit-identical to the XLA cascade in limb_gemm.fx_matmul (same EFT ops,
+    same order; expops.two_sum is value-identical to core.two_sum)."""
+    ndiag, m, n = diags.shape
+    out = _cascade_call(nw, ndiag, m, n, limb_bits)(
+        diags[None], eab[None, None])
+    return tuple(out[0, w] for w in range(nw))
+
+
 def pl_map(fn, nw_out, args):
     """Run an elementwise expansion computation as ONE Pallas kernel per
     class batch.

@@ -687,6 +687,12 @@ def _weighted_A_cluster(cl: _DevCluster, a):
     return out, out_s
 
 
+# element budget for the one-shot [L,P,T,P,T] Schur gather (~128 MB of f32
+# words at nw=5 when fully used); above it, the t1 loop caps the peak at
+# [L,P,P,T]
+_SCHUR_T1_BATCH_BUDGET = 2 ** 22
+
+
 def _schur_cluster(cl: _DevCluster, Xinvs, Ys, Xinv_s, Y_s, panels=None):
     """S^j (upper triangle mirrored), solver.jl:1062-1226. ``panels``
     (optional, per class) supplies precomputed (V^T X^-1 V, V^T Y V)."""
@@ -714,18 +720,42 @@ def _schur_cluster(cl: _DevCluster, Xinvs, Ys, Xinv_s, Y_s, panels=None):
             ri2 = k.ri[:, None, :, :]
             lam2 = tuple(c[:, None, :, :] for c in k.lam)
             m2 = k.tmask[:, None, :, :]
-            contrib = None
-            for t1 in range(T):
-                li1 = k.li[:, :, t1, None, None]      # [L,P,1,1]
-                ri1 = k.ri[:, :, t1, None, None]
-                gx = tuple(c[lidx, li1, ri2] for c in PX)   # [L,P,P,T]
-                gy = tuple(c[lidx, ri1, li2] for c in PYT)  # PY[li2, ri1]
-                v = dd_mul(lam2, dd_mul(gx, gy))
-                v = _dd_scale(v, m2 * k.tmask[:, :, t1, None, None])
-                inner = dl.dd_sum(v, axis=3)          # [L,P,P]
-                lam1 = tuple(c[:, :, t1, None] for c in k.lam)
-                term = dd_mul(lam1, inner)
-                contrib = term if contrib is None else dd_add(contrib, term)
+            if L * P_ * P_ * T * T <= _SCHUR_T1_BATCH_BUDGET:
+                # small term tables: ONE [L,P,T,P,T] gather instead of a
+                # T-times-unrolled loop — T times fewer traced ops (the
+                # compile-time lever for the common T <= 3 case)
+                lidx5 = lidx[..., None]
+                li1 = k.li[:, :, :, None, None]       # [L,P,T,1,1]
+                ri1 = k.ri[:, :, :, None, None]
+                gx = tuple(c[lidx5, li1, ri2[:, :, None]] for c in PX)
+                gy = tuple(c[lidx5, ri1, li2[:, :, None]] for c in PYT)
+                v = dd_mul(tuple(c[:, None, None, :, :] for c in k.lam),
+                           dd_mul(gx, gy))            # [L,P,T,P,T]
+                v = dd_mul(v, tuple(c[:, :, :, None, None] for c in k.lam))
+                v = _dd_scale(v, k.tmask[:, None, None, :, :]
+                              * k.tmask[:, :, :, None, None])
+                # sum over both term axes (t1, t2) -> [L, P, P]
+                vt = tuple(jnp.moveaxis(c, 2, 3).reshape(L, P_, P_, T * T)
+                           for c in v)
+                contrib = dl.dd_sum(vt, axis=3)
+            else:
+                # Contract one term axis at a time (loop over t1,
+                # vectorized over t2): peak intermediate [L,P,P,T] instead
+                # of [L,P,T,P,T] — T times smaller, which keeps
+                # three-point-scale problems (P in the hundreds) on chip
+                contrib = None
+                for t1 in range(T):
+                    li1 = k.li[:, :, t1, None, None]  # [L,P,1,1]
+                    ri1 = k.ri[:, :, t1, None, None]
+                    gx = tuple(c[lidx, li1, ri2] for c in PX)   # [L,P,P,T]
+                    gy = tuple(c[lidx, ri1, li2] for c in PYT)  # PY[li2,ri1]
+                    v = dd_mul(lam2, dd_mul(gx, gy))
+                    v = _dd_scale(v, m2 * k.tmask[:, :, t1, None, None])
+                    inner = dl.dd_sum(v, axis=3)      # [L,P,P]
+                    lam1 = tuple(c[:, :, t1, None] for c in k.lam)
+                    term = dd_mul(lam1, inner)
+                    contrib = term if contrib is None \
+                        else dd_add(contrib, term)
             # reduce over each cluster's Lc blocks only -> [J, P, P]
             S = dd_add(S, dl.dd_sum(tuple(
                 c.reshape(J, k.Lc, P, P) for c in contrib), axis=1))
@@ -928,13 +958,14 @@ def _eig_lo_bound(W2, eig_safety):
     return lo - safety * (1.0 + jnp.abs(lo))
 
 
-def _step_lengths(ds, state, dX, dXs, dY, dYs, cholX, gamma, eig_safety):
+def _step_lengths(ds, state, dX, dXs, dY, dYs, cholX, cholY, gamma,
+                  eig_safety):
     """(alpha_d, alpha_p) = max steps keeping X + a dX and Y + a dY PSD,
-    via min eig of L^-1 dM L^-T (solver.jl:1618-1693). chol(X) is REUSED
-    from the X^-1 phase (the reference refactors it too), and the X/Y
-    triangular solves + eigensolves run as ONE batched kernel over [2L]
-    (the two sides are independent until the final minima). Padded area:
-    M diagonal is 1 and dM is 0 there, so padding contributes zero
+    via min eig of L^-1 dM L^-T (solver.jl:1618-1693). chol(X) AND chol(Y)
+    are REUSED from the factorization phase (one [2L] kernel there), and
+    the X/Y triangular solves + eigensolves run as ONE batched kernel over
+    [2L] (the two sides are independent until the final minima). Padded
+    area: M diagonal is 1 and dM is 0 there, so padding contributes zero
     eigenvalues, which never tighten alpha below its real value."""
     min_d = jnp.float64(jnp.inf)
     min_p = jnp.float64(jnp.inf)
@@ -954,10 +985,8 @@ def _step_lengths(ds, state, dX, dXs, dY, dYs, cholX, gamma, eig_safety):
                 min_d = scalar_min(min_d, Xb, dXb, k.maskdiag[:, 0])
                 min_p = scalar_min(min_p, Yb, dYb, k.maskdiag[:, 0])
                 continue
-            Ly, okb = _bchol(Yb)
-            ok = ok & jnp.all(okb)
             L2 = tuple(jnp.concatenate([a, b], 0)
-                       for a, b in zip(cholX[j][ki], Ly))
+                       for a, b in zip(cholX[j][ki], cholY[j][ki]))
             dM2 = tuple(jnp.concatenate([a, b], 0) for a, b in zip(dXb, dYb))
             W = _bsolve_tril(L2, dM2)
             W2 = _bsolve_tril(L2, dl.dd_transpose_b(W))
@@ -1084,15 +1113,22 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
             mu_p = dd_mul(mu, tuple(jnp.where(pd_feas_prev, 0.0, w)
                                     for w in bw))
 
-        # chol(X) and X^-1 per class (solver.jl:387-400, 1117-1119);
+        # chol(X)+chol(Y) per class as ONE [2L] batched kernel
+        # (solver.jl:387-400, 1117-1119 for X; the Y factor is consumed by
+        # the step-length phase, solver.jl:1644 — both iterates are
+        # available now, so the two factorizations share one dispatch);
         # the factors are kept for the step-length phase (reused there)
-        Xinv, Xinv_s, cholX = [], [], []
+        Xinv, Xinv_s, cholX, cholY = [], [], [], []
         for j, cl in enumerate(ds.clusters):
-            xi, lc = [], []
+            xi, lc, ly = [], [], []
             for ki, k in enumerate(cl.classes):
-                Lc, okb = _bchol(X[j][ki])
+                M2 = tuple(jnp.concatenate([a, b], 0)
+                           for a, b in zip(X[j][ki], Y[j][ki]))
+                L2, okb = _bchol(M2)
                 ok = ok & jnp.all(okb)
-                ok_X = ok_X & jnp.all(okb)
+                ok_X = ok_X & jnp.all(okb[:k.L])
+                Lc = tuple(c[:k.L] for c in L2)
+                ly.append(tuple(c[k.L:] for c in L2))
                 eye = dl.dd_eye(k.n, nw, dtype=dt)
                 eye_b = tuple(jnp.broadcast_to(c, (k.L, k.n, k.n))
                               for c in eye)
@@ -1101,6 +1137,7 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
                 lc.append(Lc)
             Xinv.append(xi)
             cholX.append(lc)
+            cholY.append(ly)
             if cl.s_nb:
                 ok = ok & jnp.all(Xs[j][0] > 0)
                 Xinv_s.append(dd_div(_scalar(jnp.ones((cl.J, cl.s_nb)),
@@ -1206,13 +1243,19 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
         pd_feas_now = (dual_error < dual_error_threshold) & \
                       (primal_error < primal_error_threshold)
 
+        # P*Y is invariant across the predictor and corrector directions
+        # (P and Y are fixed within an iteration) — compute it once
+        PYprod = [[_bmm(Pres[j][ki], Y[j][ki])
+                   for ki in range(len(cl.classes))]
+                  for j, cl in enumerate(ds.clusters)]
+
         def search_direction(Rcur, Rcur_s):
             # Z = X^-1 (P Y - R), symmetrized (solver.jl:1499-1515)
             Zs, Zs_s = [], []
             for j, cl in enumerate(ds.clusters):
                 Zc = []
                 for ki, k in enumerate(cl.classes):
-                    PY_ = _bmm(Pres[j][ki], Y[j][ki])
+                    PY_ = PYprod[j][ki]
                     Zb = _bmm(Xinv[j][ki], dd_sub(PY_, Rcur[j][ki]))
                     Zc.append(dl.dd_symmetrize(Zb))
                 Zs.append(Zc)
@@ -1305,7 +1348,7 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
 
         # step lengths (solver.jl:460-465)
         alpha_d, alpha_p, ok_a = _step_lengths(
-            ds, state, dX, dXs, dY, dYs, cholX, gamma, eig_safety)
+            ds, state, dX, dXs, dY, dYs, cholX, cholY, gamma, eig_safety)
         ok = ok & ok_a
         if safe_step:
             a = jnp.minimum(alpha_p, alpha_d)

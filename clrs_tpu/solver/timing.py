@@ -139,7 +139,10 @@ def phase_breakdown(ds, state, reps: int = 3) -> Dict[str, float]:
         cholX = [[_st._bchol(state["X"][j][ki])[0]
                   for ki in range(len(cl.classes))]
                  for j, cl in enumerate(ds.clusters)]
-        return _st._step_lengths(ds, state, dX, dXs, dY, dYs, cholX,
+        cholY = [[_st._bchol(state["Y"][j][ki])[0]
+                  for ki in range(len(cl.classes))]
+                 for j, cl in enumerate(ds.clusters)]
+        return _st._step_lengths(ds, state, dX, dXs, dY, dYs, cholX, cholY,
                                  0.9, 1e-12)
 
     return {

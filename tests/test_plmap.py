@@ -115,3 +115,37 @@ def test_full_step_fused_vs_unfused():
     for ru, rf in zip(traj["unfused"], traj["fused"]):
         for a, b in zip(ru, rf):
             assert a == pytest.approx(b, rel=1e-13, abs=1e-18), (ru, rf)
+
+
+def test_pl_cascade_bit_identical_to_xla_cascade():
+    """The Pallas GEMM-cascade kernel (limb_gemm._USE_PLCASCADE, the TPU
+    default) must be bit-identical to the XLA cascade — forced on CPU
+    through the Pallas interpreter (round-4 rule: every TPU-gated branch
+    CPU-testable). Unbatched only: vmap-of-interpreted-pallas compiles
+    pathologically slowly on CPU; the batched path is exercised on-chip by
+    the bench."""
+    from clrs_tpu.dd import limb_gemm as lg
+
+    rng = np.random.default_rng(0)
+
+    def mkw(vals, nw=5):
+        h = np.asarray(vals, np.float64)
+        ws = []
+        for _ in range(nw):
+            w = h.astype(np.float32)
+            ws.append(jnp.asarray(w))
+            h = h - w.astype(np.float64)
+        return tuple(ws)
+
+    A = mkw(rng.standard_normal((7, 9)) * 10.0 ** rng.integers(-6, 6, (7, 9)))
+    B = mkw(rng.standard_normal((9, 5)))
+    old = lg._USE_PLCASCADE
+    try:
+        lg._USE_PLCASCADE = False
+        r0 = jax.jit(lambda a, b: lg.fx_matmul(a, b))(A, B)
+        lg._USE_PLCASCADE = True
+        r1 = jax.jit(lambda a, b: lg.fx_matmul(a, b))(A, B)
+    finally:
+        lg._USE_PLCASCADE = old
+    for c0, c1 in zip(r0, r1):
+        assert np.array_equal(np.asarray(c0), np.asarray(c1))
