@@ -120,10 +120,20 @@ class ScalarPack:
     a: Tuple[np.ndarray, np.ndarray]                 # dd [B_pad, P] coefficients
     C: Tuple[np.ndarray, np.ndarray]                 # dd [B_pad] objective coeffs
     mask: np.ndarray = None                          # f64 [B_pad]: 1 real, 0 pad
+    # exact power-of-two per-variable equilibration: device data carries
+    # a/scale and C/scale; the true solution entries are Y = Y'/scale,
+    # X = X'*scale (undone at extraction). This keeps high-degree
+    # coefficient growth (e.g. gegenbauer packs reach 1e45 at degree ~250)
+    # inside the f32 exponent window of the TPU substrate — the compiler
+    # role the reference delegates to Arb's unbounded exponents and the
+    # user-facing `scalings` (interface.jl sampleevaluate)
+    scale: np.ndarray = None                         # f64 [B_pad] powers of 2
 
     def __post_init__(self):
         if self.mask is None:
             self.mask = np.ones(self.a[0].shape[0])
+        if self.scale is None:
+            self.scale = np.ones(self.a[0].shape[0])
 
     @property
     def nblocks(self):
@@ -367,15 +377,25 @@ def _compile(problem: Problem, verbose: bool, scalar_pad: int = 1):
                                               md.reshape(-1)[0])
             a_dd = _dd_obj_array(a_obj)
             C0_dd = _dd_obj_array(C0_obj)
+            # exact power-of-two equilibration of each 1x1 variable (see
+            # ScalarPack.scale): t_k = 2^round(log2 max_p |a_kp|)
+            mag = np.max(np.abs(a_dd[0] + a_dd[1]), axis=1)
+            with np.errstate(divide="ignore"):
+                ex = np.where(mag > 0, np.round(np.log2(
+                    np.where(mag > 0, mag, 1.0))), 0.0)
+            tscale = np.power(2.0, ex)
+            a_dd = tuple(x / tscale[:, None] for x in a_dd)
+            C0_dd = tuple(x / tscale for x in C0_dd)
             npad = (-nb) % scalar_pad
             mask = np.ones(nb + npad)
             if npad:
                 mask[nb:] = 0.0
                 a_dd = tuple(np.pad(x, ((0, npad), (0, 0))) for x in a_dd)
                 C0_dd = tuple(np.pad(x, (0, npad)) for x in C0_dd)
+                tscale = np.pad(tscale, (0, npad), constant_values=1.0)
             scalars = ScalarPack(
                 names=[(names[nm], useblock[nm]) for nm in scalar_names],
-                a=a_dd, C=C0_dd, mask=mask)
+                a=a_dd, C=C0_dd, mask=mask, scale=tscale)
 
         # ---- blocks -------------------------------------------------------
         blocks = []

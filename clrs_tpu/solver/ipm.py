@@ -421,6 +421,11 @@ def _extract(ds, sdp: ClusteredLowRankSDP, state, post=None):
         if cl.scalars is not None:
             Xsh, Xsl = _two(tuple(c[jslot] for c in state["Xs"][g]))
             Ysh, Ysl = _two(tuple(c[jslot] for c in state["Ys"][g]))
+            # undo the exact power-of-two variable equilibration
+            # (ScalarPack.scale): Y = Y'/t, X = X'*t
+            ts = cl.scalars.scale
+            Ysh, Ysl = Ysh / ts, Ysl / ts
+            Xsh, Xsl = Xsh * ts, Xsl * ts
             for bidx, (name, use_block) in enumerate(cl.scalars.names):
                 key = Block(name, 1, 1) if use_block else name
                 matrixvars[key] = _dd_scalar_array(
@@ -542,10 +547,11 @@ def _warm_start(ds, sdp, state, dualsol: DualSolution, primalsol: PrimalSolution
                 continue
             for bidx, (name, use_block) in enumerate(sc.names):
                 key = Block(name, 1, 1) if use_block else name
-                xsh[jslot, bidx], xsl[jslot, bidx] = \
-                    to_dd(dualsol.matrixvars[key][0, 0])
-                ysh[jslot, bidx], ysl[jslot, bidx] = \
-                    to_dd(primalsol.matrixvars[key][0, 0])
+                t = sc.scale[bidx]
+                h, l = to_dd(dualsol.matrixvars[key][0, 0])
+                xsh[jslot, bidx], xsl[jslot, bidx] = h / t, l / t
+                h, l = to_dd(primalsol.matrixvars[key][0, 0])
+                ysh[jslot, bidx], ysl[jslot, bidx] = h * t, l * t
         Xs.append((jnp.asarray(xsh), jnp.asarray(xsl)))
         Ys.append((jnp.asarray(ysh), jnp.asarray(ysl)))
 
