@@ -43,6 +43,12 @@ _F_RADIX = np.float32(1 << LIMB_BITS)
 # per-diagonal sums add <= L <= 48 tiles
 MAX_K_EXACT = 1 << 13
 
+# pl_cascade_tiles holds the whole int8-GEMM output C [L*m, L*n] in one
+# kernel instance; Mosaic's scoped-vmem stack limit is 16 MiB, so past this
+# C-size budget fx_matmul falls back to segment_sum + pl_cascade (where the
+# scatter cost is amortized by real bandwidth anyway)
+_PLCASCADE_C_BUDGET = 6 << 20
+
 
 def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
@@ -175,26 +181,37 @@ def fx_matmul(a, b, nw=None, pre_a=None, pre_b=None):
     C = jax.lax.dot_general(A, B, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
 
+    ndiag = min(2 * L - 1, bits_needed // LIMB_BITS + 1)
+    eab = (ea + eb).astype(jnp.int32)            # (M,N)
+
+    if _use_plcascade() and (L * m) * (L * n) * 4 <= _PLCASCADE_C_BUDGET:
+        # diagonal tile sums + cascade + renorm as ONE Pallas kernel
+        # consuming C directly (the XLA segment_sum + tile transpose below
+        # measured ~34% of the IPM step's device time; the int32 diagonal
+        # sums are associative-exact, so in-kernel summation is
+        # value-identical) — see pallas_linalg.pl_cascade_tiles
+        from .pallas_linalg import pl_cascade_tiles
+
+        eab_b = jnp.broadcast_to(eab, (m, n))
+        return pl_cascade_tiles(C, eab_b, nw, LIMB_BITS, L, m, n, ndiag)
+
     # per-diagonal int32 sums D[d] = sum_{ta+tb=d} tile(ta,tb): exact
     # (<= L tiles of <= K products <= 2^13 each)
     tiles = C.reshape(L, m, L, n).transpose(0, 2, 1, 3).reshape(L * L, m, n)
     ta = jnp.repeat(jnp.arange(L), L)
     tb = jnp.tile(jnp.arange(L), L)
-    ndiag = min(2 * L - 1, bits_needed // LIMB_BITS + 1)
     diags = jax.ops.segment_sum(tiles, ta + tb, num_segments=2 * L - 1)
     diags = diags[:ndiag]                        # below truncation floor
 
-    # cascade into an (nw+2)-word expansion, most significant first
-    eab = (ea + eb).astype(jnp.int32)            # (M,N)
-
     if _use_plcascade():
-        # whole cascade + renorm as ONE Pallas kernel (the unrolled XLA
-        # form below costs ~ndiag*25 whole-tensor ops; see
-        # pallas_linalg.pl_cascade) — bit-identical EFT sequence
+        # shapes past the VMEM budget: cascade + renorm still run as ONE
+        # Pallas kernel on the diagonal sums (bit-identical EFT sequence)
         from .pallas_linalg import pl_cascade
 
         eab_b = jnp.broadcast_to(eab, (m, n))
         return pl_cascade(diags, eab_b, nw, LIMB_BITS)
+
+    # cascade into an (nw+2)-word expansion, most significant first
 
     def body(acc, dt_):
         d, tile = dt_

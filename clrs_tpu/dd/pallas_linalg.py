@@ -273,63 +273,74 @@ def pl_solve_tril_t_b(l, b):
     return unstack_words(out)
 
 
+def _pl_mul_pow2(x, e):
+    # x * 2^e, e int32 [m,n]; exact (limb_gemm.mul_pow2_f32, Mosaic-safe
+    # bit construction on vectors)
+    out = x
+    rem = e
+    for _ in range(4):
+        # pinned int32 bounds: weak Python-int consts become i64 under
+        # x64 and Mosaic's i64->i32 convert lowering recurses forever
+        h = jnp.clip(rem, np.int32(-126), np.int32(126))
+        # int32 -> uint32 via BITCAST (identical bits for the positive
+        # exponents here); Mosaic's convert_element_type lowering
+        # recurses infinitely on signed->unsigned converts
+        hb = jax.lax.bitcast_convert_type(h + np.int32(127), jnp.uint32)
+        bits = hb << np.uint32(23)
+        out = out * jax.lax.bitcast_convert_type(bits, jnp.float32)
+        rem = rem - h
+    return out
+
+
+def _pl_vsum(cs):
+    from . import expops as E
+    n_ = len(cs)
+    out = [None] * n_
+    s = cs[n_ - 1]
+    for i in range(n_ - 2, -1, -1):
+        s, e = E.two_sum(cs[i], s)
+        out[i + 1] = e
+    out[0] = s
+    return out
+
+
+def _cascade_fold(acc, tile, d, eab, limb_bits):
+    """One diagonal's cascade step (bit-identical to limb_gemm's XLA body):
+    split the int32 diagonal sum into two exactly-f32 halves, scale by the
+    power-of-two exponents, and fold into the carry expansion."""
+    hi_i = tile >> np.int32(15)
+    lo_i = tile - (hi_i << np.int32(15))
+    sc = eab - np.int32(limb_bits * (d + 2))
+    hi = _pl_mul_pow2(hi_i.astype(jnp.float32) * np.float32(1 << 15), sc)
+    lo = _pl_mul_pow2(lo_i.astype(jnp.float32), sc)
+    cs = _pl_vsum(acc + [hi, lo])
+    low = cs[-2] + cs[-1]
+    cs = cs[:-2]
+    cs[-1] = cs[-1] + low
+    return cs
+
+
+def _cascade_out(acc, nw, out_ref):
+    cs = _pl_vsum(_pl_vsum(acc))
+    out = list(cs[:nw])
+    out[-1] = out[-1] + (cs[nw] + cs[nw + 1])
+    for w in range(nw):
+        out_ref[0, w] = out[w]
+
+
 @functools.lru_cache(maxsize=None)
 def _cascade_call(nw, ndiag, m, n, limb_bits):
     """Pallas kernel: the fx_matmul diagonal cascade (limb_gemm.py:176-209)
     as ONE kernel — the unrolled XLA form costs ~ndiag*25 whole-tensor ops
     (~0.35us each on this chip), the dominant elementwise cost of every
     expansion GEMM."""
-    from . import expops as E
-
-    def _mul_pow2(x, e):
-        # x * 2^e, e int32 [m,n]; exact (limb_gemm.mul_pow2_f32, Mosaic-safe
-        # bit construction on vectors)
-        out = x
-        rem = e
-        for _ in range(4):
-            # pinned int32 bounds: weak Python-int consts become i64 under
-            # x64 and Mosaic's i64->i32 convert lowering recurses forever
-            h = jnp.clip(rem, np.int32(-126), np.int32(126))
-            # int32 -> uint32 via BITCAST (identical bits for the positive
-            # exponents here); Mosaic's convert_element_type lowering
-            # recurses infinitely on signed->unsigned converts
-            hb = jax.lax.bitcast_convert_type(h + np.int32(127), jnp.uint32)
-            bits = hb << np.uint32(23)
-            out = out * jax.lax.bitcast_convert_type(bits, jnp.float32)
-            rem = rem - h
-        return out
-
-    def _vsum(cs):
-        n_ = len(cs)
-        out = [None] * n_
-        s = cs[n_ - 1]
-        for i in range(n_ - 2, -1, -1):
-            s, e = E.two_sum(cs[i], s)
-            out[i + 1] = e
-        out[0] = s
-        return out
 
     def kernel(d_ref, e_ref, out_ref):
         eab = e_ref[0, 0]
         acc = [jnp.zeros((m, n), jnp.float32) for _ in range(nw + 2)]
         for d in range(ndiag):
-            tile = d_ref[0, d]
-            hi_i = tile >> np.int32(15)
-            lo_i = tile - (hi_i << np.int32(15))
-            sc = eab - np.int32(limb_bits * (d + 2))
-            hi = _mul_pow2(hi_i.astype(jnp.float32)
-                           * np.float32(1 << 15), sc)
-            lo = _mul_pow2(lo_i.astype(jnp.float32), sc)
-            cs = _vsum(acc + [hi, lo])
-            low = cs[-2] + cs[-1]
-            cs = cs[:-2]
-            cs[-1] = cs[-1] + low
-            acc = cs
-        cs = _vsum(_vsum(acc))
-        out = list(cs[:nw])
-        out[-1] = out[-1] + (cs[nw] + cs[nw + 1])
-        for w in range(nw):
-            out_ref[0, w] = out[w]
+            acc = _cascade_fold(acc, d_ref[0, d], d, eab, limb_bits)
+        _cascade_out(acc, nw, out_ref)
 
     return pl.pallas_call(
         kernel,
@@ -355,6 +366,56 @@ def pl_cascade(diags, eab, nw, limb_bits):
     ndiag, m, n = diags.shape
     out = _cascade_call(nw, ndiag, m, n, limb_bits)(
         diags[None], eab[None, None])
+    return tuple(out[0, w] for w in range(nw))
+
+
+@functools.lru_cache(maxsize=None)
+def _cascade_tiles_call(nw, L, ndiag, m, n, limb_bits):
+    """Diagonal tile summation + cascade as ONE kernel, consuming the raw
+    int8-GEMM output C [L*m, L*n] directly.
+
+    The XLA form (limb_gemm.fx_matmul's reshape/transpose + segment_sum)
+    measured ~26% scatter-add + ~8% transpose of the whole IPM step's
+    device time on this chip (hlo_stats, round 4); the int32 diagonal sums
+    D[d] = sum_{ta+tb=d} C[ta*m:(ta+1)*m, (d-ta)*n:(d-ta+1)*n] are
+    associative-exact, so summing in-kernel is value-identical."""
+
+    def kernel(c_ref, e_ref, out_ref):
+        eab = e_ref[0, 0]
+        acc = [jnp.zeros((m, n), jnp.float32) for _ in range(nw + 2)]
+        for d in range(ndiag):
+            tile = None
+            for ta in range(max(0, d - (L - 1)), min(d, L - 1) + 1):
+                tb = d - ta
+                t = c_ref[0, ta * m:(ta + 1) * m, tb * n:(tb + 1) * n]
+                tile = t if tile is None else tile + t
+            acc = _cascade_fold(acc, tile, d, eab, limb_bits)
+        _cascade_out(acc, nw, out_ref)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[pl.BlockSpec((1, L * m, L * n),
+                               lambda i: (i, np.int32(0), np.int32(0)),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, m, n),
+                               lambda i: (i, np.int32(0), np.int32(0),
+                                          np.int32(0)),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, nw, m, n),
+                               lambda i: (i, np.int32(0), np.int32(0),
+                                          np.int32(0)),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, nw, m, n), jnp.float32),
+        interpret=_interpret(),
+    )
+
+
+def pl_cascade_tiles(C, eab, nw, limb_bits, L, m, n, ndiag):
+    """C int32 [L*m, L*n] (limb-major row/col blocks), eab int32 [m, n]
+    -> nw-word f32 tuple; value-identical to segment_sum + pl_cascade."""
+    out = _cascade_tiles_call(nw, L, ndiag, m, n, limb_bits)(
+        C[None], eab[None, None])
     return tuple(out[0, w] for w in range(nw))
 
 

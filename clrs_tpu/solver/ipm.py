@@ -424,6 +424,10 @@ def _extract(ds, sdp: ClusteredLowRankSDP, state, post=None):
             # undo the exact power-of-two variable equilibration
             # (ScalarPack.scale): Y = Y'/t, X = X'*t
             ts = cl.scalars.scale
+            # drop mesh-divisibility padding (parallel/api pads the
+            # scalar-pack axis at the end; padded entries are inert)
+            Xsh, Xsl = Xsh[:ts.size], Xsl[:ts.size]
+            Ysh, Ysl = Ysh[:ts.size], Ysl[:ts.size]
             Ysh, Ysl = Ysh / ts, Ysl / ts
             Xsh, Xsl = Xsh * ts, Xsl * ts
             for bidx, (name, use_block) in enumerate(cl.scalars.names):
