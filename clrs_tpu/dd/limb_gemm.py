@@ -108,6 +108,17 @@ def _use_plcascade():
     return jax.default_backend() == "tpu"
 
 
+# test override: force (True) / disable (False) the Pallas limb-extraction
+# kernel (the TPU default); CPU tests force it through the interpreter
+_USE_PLEXTRACT = None
+
+
+def _use_plextract():
+    if _USE_PLEXTRACT is not None:
+        return _USE_PLEXTRACT
+    return jax.default_backend() == "tpu"
+
+
 def _extract_limbs(words, L):
     """Split a scaled f32 expansion (|value| <= ~1/2) into L int8 limbs.
 
@@ -161,23 +172,35 @@ def fx_matmul(a, b, nw=None, pre_a=None, pre_b=None):
     L = _ceil_div(bits_needed, LIMB_BITS)
     assert L <= 48 and k <= MAX_K_EXACT, (L, k)
 
+    use_plx = _use_plextract()
+    if use_plx:
+        from .pallas_linalg import pl_extract
     if pre_a is None:
-        ea = _row_exp_f32(a[0], axis=1)          # (M,1)
-        asc = tuple(mul_pow2_f32(c, -ea) for c in a)
-        la = _extract_limbs(asc, L)              # (L, M, K) int8
+        if use_plx and L * m * k * 4 <= _PLCASCADE_C_BUDGET:
+            # scaling + extraction + A-layout as ONE Pallas kernel
+            la2, ea = pl_extract(a, L, "a", LIMB_BITS)   # (L*M, K) int32
+            A = la2.astype(jnp.int8)
+        else:
+            ea = _row_exp_f32(a[0], axis=1)          # (M,1)
+            asc = tuple(mul_pow2_f32(c, -ea) for c in a)
+            A = _extract_limbs(asc, L).reshape(L * m, k)   # (L*M, K) int8
     else:
         la, ea = pre_a
         assert la.shape[0] == L, (la.shape, L)
+        A = la.reshape(L * m, k)
     if pre_b is None:
-        eb = _row_exp_f32(b[0], axis=0)          # (1,N)
-        bsc = tuple(mul_pow2_f32(c, -eb) for c in b)
-        lb = _extract_limbs(bsc, L)              # (L, K, N) int8
+        if use_plx and L * k * n * 4 <= _PLCASCADE_C_BUDGET:
+            lb2, eb = pl_extract(b, L, "b", LIMB_BITS)   # (K, L*N) int32
+            B = lb2.astype(jnp.int8)
+        else:
+            eb = _row_exp_f32(b[0], axis=0)          # (1,N)
+            bsc = tuple(mul_pow2_f32(c, -eb) for c in b)
+            B = jnp.moveaxis(_extract_limbs(bsc, L), 0, 1).reshape(k, L * n)
     else:
         lb, eb = pre_b
         assert lb.shape[0] == L, (lb.shape, L)
+        B = jnp.moveaxis(lb, 0, 1).reshape(k, L * n)
 
-    A = la.reshape(L * m, k)
-    B = jnp.moveaxis(lb, 0, 1).reshape(k, L * n)
     C = jax.lax.dot_general(A, B, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
 

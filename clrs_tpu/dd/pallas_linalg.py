@@ -419,6 +419,78 @@ def pl_cascade_tiles(C, eab, nw, limb_bits, L, m, n, ndiag):
     return tuple(out[0, w] for w in range(nw))
 
 
+@functools.lru_cache(maxsize=None)
+def _extract_call(nw, Llimb, d0, d1, limb_bits, side):
+    """Pallas kernel: per-row (side 'a') / per-column (side 'b') exponent
+    scaling + Llimb-limb extraction of an f32 expansion, emitting limbs
+    int32 ALREADY in the GEMM operand layout ([L*d0, d1] row blocks for A,
+    [d0, L*d1] column blocks for B — no moveaxis/transpose afterwards).
+
+    Value-identical to limb_gemm._row_exp_f32 + mul_pow2_f32 +
+    _extract_limbs (same exact pow2 scaling, the same magic-constant rint,
+    expops two_sum == core two_sum sweeps). The unrolled XLA form costs
+    ~Llimb*(2*nw+5) whole-tensor ops PER OPERAND — the largest single
+    contributor to the ~12k-op step body measured in the round-4 trace."""
+    radix = np.float32(1 << limb_bits)
+    ax = 1 if side == "a" else 0
+
+    def kernel(w_ref, l_ref, e_ref):
+        ws = [w_ref[0, w] for w in range(nw)]
+        # _row_exp_f32: e with |hi| * 2^-e <= 1/2 (exact bit math)
+        mag = jnp.max(jnp.abs(ws[0]), axis=ax, keepdims=True)
+        mag = jnp.where(mag == 0, np.float32(1.0), mag)
+        bits = jax.lax.bitcast_convert_type(mag, jnp.uint32)
+        e = ((bits >> np.uint32(23)) & jnp.uint32(0xFF)).astype(jnp.int32) \
+            - np.int32(125)              # == (exp - 126) + 1 margin
+        ws = [_pl_mul_pow2(c, -e) for c in ws]
+        for t in range(Llimb):
+            ws = [c * radix for c in ws]
+            ws = _pl_vsum(ws)
+            # RN-even rint: the XLA path's magic-constant trick needs
+            # optimization_barrier (XLA algsimp folds (x+M)-M -> x; core
+            # _bar docstring), which Mosaic cannot lower — lax.round
+            # TO_NEAREST_EVEN is the same value for |x| < 2^22 and lowers
+            # on both Mosaic and the interpreter
+            d = jax.lax.round(ws[0], jax.lax.RoundingMethod.TO_NEAREST_EVEN)
+            ws[0] = ws[0] - d
+            di = d.astype(jnp.int32)
+            if side == "a":
+                l_ref[0, t * d0:(t + 1) * d0, :] = di
+            else:
+                l_ref[0, :, t * d1:(t + 1) * d1] = di
+        e_ref[0] = e
+
+    lshape = (Llimb * d0, d1) if side == "a" else (d0, Llimb * d1)
+    eshape = (d0, 1) if side == "a" else (1, d1)
+    return pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[pl.BlockSpec((1, nw, d0, d1),
+                               lambda i: (i, np.int32(0), np.int32(0),
+                                          np.int32(0)),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1,) + lshape,
+                                lambda i: (i, np.int32(0), np.int32(0)),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1,) + eshape,
+                                lambda i: (i, np.int32(0), np.int32(0)),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((1,) + lshape, jnp.int32),
+                   jax.ShapeDtypeStruct((1,) + eshape, jnp.int32)),
+        interpret=_interpret(),
+    )
+
+
+def pl_extract(words, Llimb, side, limb_bits):
+    """words: nw-tuple of [d0, d1] f32 -> (limbs int32 in GEMM layout,
+    exponents int32 [d0,1] / [1,d1]); see :func:`_extract_call`."""
+    nw = len(words)
+    d0, d1 = words[0].shape
+    limbs, e = _extract_call(nw, Llimb, d0, d1, limb_bits, side)(
+        jnp.stack(words)[None])
+    return limbs[0], e[0]
+
+
 def pl_map(fn, nw_out, args):
     """Run an elementwise expansion computation as ONE Pallas kernel per
     class batch.

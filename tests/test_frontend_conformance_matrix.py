@@ -302,7 +302,142 @@ def _objective_only_maximized_var():
     return m, 3.0 + 2.0 * math.sqrt(2.0)
 
 
+def _empty_objective_feasibility():
+    # pure feasibility problem: maximize 0 over a pinned PSD block
+    m = Model()
+    X = m.psd_variable("X", 2)
+    m.add_constraint(X[0, 0] == 1)
+    m.add_constraint(X[1, 1] == 1)
+    m.maximize(0 * X[0, 0])
+    return m, 0.0
+
+
+def _objective_repeated_variable():
+    # t + t must accumulate to 2t (MOI duplicate-term canonicalization)
+    m = Model()
+    t = m.nonneg_variable("t")
+    m.add_constraint(t == 3)
+    m.maximize(t + t)
+    return m, 6.0
+
+
+def _constraint_constant_both_sides():
+    # 2 == t + 1  ->  t = 1
+    m = Model()
+    t = m.nonneg_variable("t")
+    m.add_constraint(2 == t + 1)
+    m.maximize(t)
+    return m, 1.0
+
+
+def _constraint_expr_minus_expr():
+    # (t + u) - (u - t) == 4  ->  2t = 4
+    m = Model()
+    t, u = m.nonneg_variable("t"), m.nonneg_variable("u")
+    m.add_constraint((t + u) - (u - t) == 4)
+    m.add_constraint(u == 1)
+    m.minimize(t + u)
+    return m, 3.0
+
+
+def _nonneg_partition():
+    # max t with t + u = 3, both nonneg -> 3 at u = 0 (cone boundary)
+    m = Model()
+    t, u = m.nonneg_variable("t"), m.nonneg_variable("u")
+    m.add_constraint(t + u == 3)
+    m.maximize(t)
+    return m, 3.0
+
+
+def _free_negative_objective():
+    # free variable pinned to a negative value through the objective
+    m = Model()
+    X = m.psd_variable("X", 1)
+    w = m.free_variable("w")
+    m.add_constraint(X[0, 0] == 1)
+    m.add_constraint(w + X[0, 0] == -4)
+    m.minimize(w + 2 * X[0, 0])
+    return m, -3.0
+
+
+def _psd_scaled_diag():
+    # max X01+X10 s.t. 4*X00 == 1, X11 == 4: |x01| <= sqrt(x00 x11) = 1
+    m = Model()
+    X = m.psd_variable("X", 2)
+    m.add_constraint(4 * X[0, 0] == 1)
+    m.add_constraint(X[1, 1] == 4)
+    m.maximize(X[0, 1] + X[1, 0])
+    return m, 2.0
+
+
+def _psd_4x4_corner():
+    # max X[0,3]+X[3,0] with unit diagonal -> 2 (rank-1 corner matrix)
+    m = Model()
+    X = m.psd_variable("X", 4)
+    for i in range(4):
+        m.add_constraint(X[i, i] == 1)
+    m.maximize(X[0, 3] + X[3, 0])
+    return m, 2.0
+
+
+def _minimize_with_constant_offset():
+    # min (t + 7/2) s.t. t == 1/2 -> 4
+    m = Model()
+    t = m.nonneg_variable("t")
+    m.add_constraint(t == H)
+    m.minimize(t + Fraction(7, 2))
+    return m, 4.0
+
+
+def _psd_1x1_repeated_in_constraint():
+    # same 1x1 block referenced twice in one constraint: 3*X00 == 6
+    m = Model()
+    X = m.psd_variable("X", 1)
+    m.add_constraint(X[0, 0] + 2 * X[0, 0] == 6)
+    m.maximize(X[0, 0])
+    return m, 2.0
+
+
+def _herm_two_blocks():
+    # two independent Hermitian blocks, objective sums their real corners
+    m = Model()
+    A = m.hermitian_psd_variable("A", 2)
+    B = m.hermitian_psd_variable("B", 2)
+    for M in (A, B):
+        m.add_constraint(M[0, 0] + M[1, 1] == 2)
+    m.maximize(A[0, 1] + A[1, 0] + B[0, 1] + B[1, 0])
+    # per block: max 2*Re(a01) with a00+a11=2, |a01| <= sqrt(a00 a11) <= 1
+    return m, 4.0
+
+
+def _chain_coupling_all_cones():
+    # psd -> free -> nonneg equality chain; optimum pinned through chain
+    m = Model()
+    X = m.psd_variable("X", 2)
+    w = m.free_variable("w")
+    t = m.nonneg_variable("t")
+    m.add_constraint(X[0, 0] == 2)
+    m.add_constraint(w - X[0, 0] == 1)
+    m.add_constraint(t + w == 5)
+    m.add_constraint(X[1, 1] == 1)
+    m.maximize(t + X[0, 1] + X[1, 0])
+    # w = 3, t = 2, max x01+x10 = 2*sqrt(2)
+    return m, 2.0 + 2.0 * math.sqrt(2.0)
+
+
 OPTIMAL_CASES = [
+    ("empty_objective_feasibility", _empty_objective_feasibility),
+    ("objective_repeated_variable", _objective_repeated_variable),
+    ("constraint_constant_both_sides", _constraint_constant_both_sides),
+    ("constraint_expr_minus_expr", _constraint_expr_minus_expr),
+    ("nonneg_partition", _nonneg_partition),
+    ("free_negative_objective", _free_negative_objective),
+    ("psd_scaled_diag", _psd_scaled_diag),
+    ("psd_4x4_corner", _psd_4x4_corner),
+    ("minimize_with_constant_offset", _minimize_with_constant_offset),
+    ("psd_1x1_repeated_in_constraint", _psd_1x1_repeated_in_constraint),
+    ("herm_two_blocks", _herm_two_blocks),
+    ("chain_coupling_all_cones", _chain_coupling_all_cones),
     ("lin_max", _lin_max),
     ("lin_min", _lin_min),
     ("lin_weighted", _lin_weighted),

@@ -149,3 +149,45 @@ def test_pl_cascade_bit_identical_to_xla_cascade():
         lg._USE_PLCASCADE = old
     for c0, c1 in zip(r0, r1):
         assert np.array_equal(np.asarray(c0), np.asarray(c1))
+
+
+def test_pl_extract_bit_identical_to_xla_extraction():
+    """The Pallas limb-extraction kernel (limb_gemm._USE_PLEXTRACT, the TPU
+    default) must be bit-identical to the XLA scaling+extraction chain —
+    forced on CPU through the Pallas interpreter. Covers both operand
+    sides, extreme magnitudes (exponent scaling > 126), zero rows, and
+    the pre_a/pre_b mixed case."""
+    from clrs_tpu.dd import limb_gemm as lg
+
+    rng = np.random.default_rng(2)
+
+    def mkw(vals, nw=5):
+        h = np.asarray(vals, np.float64)
+        ws = []
+        for _ in range(nw):
+            w = h.astype(np.float32)
+            ws.append(jnp.asarray(w))
+            h = h - w.astype(np.float64)
+        return tuple(ws)
+
+    Av = rng.standard_normal((6, 8)) * 10.0 ** rng.integers(-30, 30, (6, 8))
+    Av[2, :] = 0.0                          # zero row -> mag fallback
+    A = mkw(Av)
+    B = mkw(rng.standard_normal((8, 4)))
+    pre_b = lg.host_precompute(tuple(np.asarray(c) for c in B), 5, axis=0)
+    pre_b = (jnp.asarray(pre_b[0]), jnp.asarray(pre_b[1]))
+    oldx, oldc = lg._USE_PLEXTRACT, lg._USE_PLCASCADE
+    try:
+        lg._USE_PLCASCADE = False           # isolate the extraction branch
+        lg._USE_PLEXTRACT = False
+        r0 = jax.jit(lambda a, b: lg.fx_matmul(a, b))(A, B)
+        p0 = jax.jit(lambda a: lg.fx_matmul(a, None, nw=5, pre_b=pre_b))(A)
+        lg._USE_PLEXTRACT = True
+        r1 = jax.jit(lambda a, b: lg.fx_matmul(a, b))(A, B)
+        p1 = jax.jit(lambda a: lg.fx_matmul(a, None, nw=5, pre_b=pre_b))(A)
+    finally:
+        lg._USE_PLEXTRACT, lg._USE_PLCASCADE = oldx, oldc
+    for c0, c1 in zip(r0, r1):
+        assert np.array_equal(np.asarray(c0), np.asarray(c1))
+    for c0, c1 in zip(p0, p1):
+        assert np.array_equal(np.asarray(c0), np.asarray(c1))
