@@ -207,16 +207,24 @@ def fx_matmul(a, b, nw=None, pre_a=None, pre_b=None):
     ndiag = min(2 * L - 1, bits_needed // LIMB_BITS + 1)
     eab = (ea + eb).astype(jnp.int32)            # (M,N)
 
-    if _use_plcascade() and (L * m) * (L * n) * 4 <= _PLCASCADE_C_BUDGET:
+    if _use_plcascade():
         # diagonal tile sums + cascade + renorm as ONE Pallas kernel
         # consuming C directly (the XLA segment_sum + tile transpose below
         # measured ~34% of the IPM step's device time; the int32 diagonal
         # sums are associative-exact, so in-kernel summation is
-        # value-identical) — see pallas_linalg.pl_cascade_tiles
-        from .pallas_linalg import pl_cascade_tiles
-
+        # value-identical) — see pallas_linalg.pl_cascade_tiles. Above the
+        # whole-C VMEM budget, the GRID-TILED variant streams C through
+        # VMEM in output tiles (bit-identical; replaces the segment_sum
+        # HBM fallback that dominated the Schur-scale panel GEMMs).
         eab_b = jnp.broadcast_to(eab, (m, n))
-        return pl_cascade_tiles(C, eab_b, nw, LIMB_BITS, L, m, n, ndiag)
+        if (L * m) * (L * n) * 4 <= _PLCASCADE_C_BUDGET:
+            from .pallas_linalg import pl_cascade_tiles
+
+            return pl_cascade_tiles(C, eab_b, nw, LIMB_BITS, L, m, n, ndiag)
+        from .pallas_linalg import pl_cascade_tiles_grid
+
+        return pl_cascade_tiles_grid(C, eab_b, nw, LIMB_BITS, L, m, n,
+                                     ndiag, _PLCASCADE_C_BUDGET)
 
     # per-diagonal int32 sums D[d] = sum_{ta+tb=d} tile(ta,tb): exact
     # (<= L tiles of <= K products <= 2^13 each)
@@ -225,14 +233,6 @@ def fx_matmul(a, b, nw=None, pre_a=None, pre_b=None):
     tb = jnp.tile(jnp.arange(L), L)
     diags = jax.ops.segment_sum(tiles, ta + tb, num_segments=2 * L - 1)
     diags = diags[:ndiag]                        # below truncation floor
-
-    if _use_plcascade():
-        # shapes past the VMEM budget: cascade + renorm still run as ONE
-        # Pallas kernel on the diagonal sums (bit-identical EFT sequence)
-        from .pallas_linalg import pl_cascade
-
-        eab_b = jnp.broadcast_to(eab, (m, n))
-        return pl_cascade(diags, eab_b, nw, LIMB_BITS)
 
     # cascade into an (nw+2)-word expansion, most significant first
 

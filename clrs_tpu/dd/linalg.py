@@ -326,7 +326,118 @@ def dd_solve_cholesky(l, b):
 # batched front-ends: route to the Pallas TPU kernels (whole factorization
 # in ONE kernel, pallas_linalg.py) on the f32 substrate, else vmap the
 # XLA-loop versions above. These are the entry points the solver uses.
+#
+# Large matrices (n >= _BLK_MIN) go through BLOCKED right-looking
+# formulations first: the sequential row/column recurrences run only on
+# nb x nb diagonal blocks (cheap), while the O(n^3) trailing updates run
+# as expansion GEMMs — the exact int8-limb MXU GEMM on the f32 substrate.
+# This is what makes the Schur-dominated tier (chol(S^j) and the KKT
+# solves on [P, P] with P in the hundreds, the reference's hot loop #2,
+# ClusteredLowRankSolver.jl src/solver.jl:1244-1252 + src/tools.jl:59-107)
+# MXU-bound instead of VPU-row-sequential, and it is the formulation whose
+# trailing GEMMs GSPMD can shard over a mesh (VERDICT r4 item 3).
 # ---------------------------------------------------------------------------
+
+_BLK_NB = 64     # diagonal block size of the blocked formulations
+_BLK_MIN = 96    # use blocked factorizations from this size up
+
+# test override: force (True) / disable (False) the blocked route
+_USE_BLOCKED = None
+
+
+def _use_blocked(n):
+    if _USE_BLOCKED is not None:
+        return _USE_BLOCKED and n >= _BLK_MIN
+    return n >= _BLK_MIN
+
+
+def _blk_ranges(n, nb=None):
+    nb = nb or _BLK_NB
+    return [(k0, min(k0 + nb, n)) for k0 in range(0, n, nb)]
+
+
+def _sub_b(x, r0, r1, c0, c1):
+    return tuple(c[:, r0:r1, c0:c1] for c in x)
+
+
+def _bmm_b(a, b):
+    """Batched expansion GEMM over the leading axis (vmapped dd_matmul:
+    fx_matmul limb GEMM on f32, slice/compensated GEMM on f64)."""
+    return jax.vmap(dd_matmul)(a, b)
+
+
+def _b_cholesky_blocked(a, nb=None):
+    """Blocked right-looking Cholesky of [L, n, n] expansion words.
+
+    Per block column: factor the nb x nb diagonal block with the
+    row-sequential kernel, solve the panel below it against L_kk^T, and
+    update the trailing matrix with ONE expansion GEMM (MXU on the f32
+    substrate). Value-equal to the unblocked factorization up to the
+    per-GEMM nw-word rounding (each fold rounds at ~2^-(24 nw) relative)."""
+    nw = len(a)
+    Lb, n, _ = a[0].shape
+    dt = wdtype(a)
+    rngs = _blk_ranges(n, nb)
+    out = dd_zeros((Lb, n, n), nw, dtype=dt)
+    ok = jnp.ones((Lb,), dtype=bool)
+    A = a
+    for (k0, k1) in rngs:
+        Akk = _sub_b(A, k0, k1, k0, k1)
+        Lkk, okb = b_cholesky(Akk)              # small: Pallas/vmap route
+        ok = ok & okb
+        out = tuple(o.at[:, k0:k1, k0:k1].set(lc)
+                    for o, lc in zip(out, Lkk))
+        if k1 < n:
+            A21 = _sub_b(A, k1, n, k0, k1)
+            # panel P with P L_kk^T = A21  <=>  L_kk P^T = A21^T
+            Pt = b_solve_tril(Lkk, dd_transpose_b(A21))
+            Pn = dd_transpose_b(Pt)             # [L, n-k1, nb]
+            out = tuple(o.at[:, k1:, k0:k1].set(pc)
+                        for o, pc in zip(out, Pn))
+            upd = _bmm_b(Pn, Pt)                # trailing GEMM (MXU)
+            A22 = dd_sub(_sub_b(A, k1, n, k1, n), upd)
+            A = tuple(c.at[:, k1:, k1:].set(uc)
+                      for c, uc in zip(A, A22))
+    return out, ok
+
+
+def _b_solve_tril_blocked(l, b, nb=None):
+    """Blocked forward substitution L X = B ([L, n, n] @ [L, n, m]):
+    x_k = L_kk^-1 (b_k - L_k,<k x_<k); the off-diagonal apply is ONE
+    expansion GEMM per block row."""
+    nw = len(l)
+    Lb, n, _ = l[0].shape
+    m = b[0].shape[2]
+    dt = wdtype(l)
+    x = dd_zeros((Lb, n, m), nw, dtype=dt)
+    for (k0, k1) in _blk_ranges(n, nb):
+        rhs = _sub_b(b, k0, k1, 0, m)
+        if k0 > 0:
+            Lrow = _sub_b(l, k0, k1, 0, k0)
+            rhs = dd_sub(rhs, _bmm_b(Lrow, _sub_b(x, 0, k0, 0, m)))
+        xk = b_solve_tril(_sub_b(l, k0, k1, k0, k1), rhs)
+        x = tuple(c.at[:, k0:k1, :].set(xc) for c, xc in zip(x, xk))
+    return x
+
+
+def _b_solve_tril_t_blocked(l, b, nb=None):
+    """Blocked backward substitution L^T X = B given the LOWER factor L:
+    block rows bottom-up, x_k = L_kk^-T (b_k - L_>k,k^T x_>k)."""
+    nw = len(l)
+    Lb, n, _ = l[0].shape
+    m = b[0].shape[2]
+    dt = wdtype(l)
+    x = dd_zeros((Lb, n, m), nw, dtype=dt)
+    for (k0, k1) in reversed(_blk_ranges(n, nb)):
+        rhs = _sub_b(b, k0, k1, 0, m)
+        if k1 < n:
+            Lcol = _sub_b(l, k1, n, k0, k1)     # [L, n-k1, nb]
+            rhs = dd_sub(rhs, _bmm_b(dd_transpose_b(Lcol),
+                                     _sub_b(x, k1, n, 0, m)))
+        xk = b_solve_tril_t(_sub_b(l, k0, k1, k0, k1), rhs)
+        x = tuple(c.at[:, k0:k1, :].set(xc) for c, xc in zip(x, xk))
+    return x
+
 
 def _pallas_route(x):
     """True when the batched Pallas kernels apply: f32 expansion words on
@@ -339,6 +450,8 @@ def _pallas_route(x):
 
 def b_cholesky(a):
     """Batched Cholesky of [L, n, n] words -> (L_factor, ok[L])."""
+    if a[0].ndim == 3 and _use_blocked(a[0].shape[-1]):
+        return _b_cholesky_blocked(a)
     if _pallas_route(a):
         from . import pallas_linalg as P
 
@@ -350,6 +463,8 @@ def b_solve_tril(l, b):
     """Batched forward substitution L X = B ([L, n, n] @ [L, n, m])."""
     if b[0].shape[-1] == 0:
         return b
+    if l[0].ndim == 3 and _use_blocked(l[0].shape[-1]):
+        return _b_solve_tril_blocked(l, b)
     if _pallas_route(l):
         from . import pallas_linalg as P
 
@@ -362,6 +477,8 @@ def b_solve_tril_t(l, b):
     (the Pallas kernel never forms the transpose)."""
     if b[0].shape[-1] == 0:
         return b
+    if l[0].ndim == 3 and _use_blocked(l[0].shape[-1]):
+        return _b_solve_tril_t_blocked(l, b)
     if _pallas_route(l):
         from . import pallas_linalg as P
 

@@ -193,6 +193,9 @@ class _DevClass:
     tmask: Any = None            # dtype [L, P, T]
     Ul: Any = None               # dd [L, P*T, n]: tmask * V[:, li].T
     Ur: Any = None               # dd [L, P*T, n]: tmask * V[:, ri].T
+    Ulw: Any = None              # dd [L, P*T, n]: lam * Ul (Schur pair path)
+    Urw: Any = None              # dd [L, P*T, n]: lam * Ur
+    use_pairs: bool = False      # gather-free Schur pair path for this class
     # dense data
     A: Any = None                # dd [L, P, n, n]
     # precomputed limb forms of the constant GEMM operands (f32 substrate
@@ -202,6 +205,9 @@ class _DevClass:
     V2pre_r: Any = None          # doubled (for the [2L] X/Y panel pair)
     V2tpre_l: Any = None
     Urpre_r: Any = None          # Ur as right operand  [L, Ll, P*T, n]
+    U2pre_l: Any = None          # [Ulw; Ul] as left operand ([2L] pair GEMM)
+    U2tpre_r: Any = None         # [Urw^T; Ur^T] as right operand
+    Ulpre_l: Any = None          # Ul as left operand (trace_A Hadamard)
 
 
 @dataclasses.dataclass
@@ -456,11 +462,27 @@ class DeviceSDP:
                                 tm[i].reshape(-1)[:, None]
                         Ul.append(wl)
                         Ur.append(wr)
+                    # lam-weighted term tables for the gather-free Schur
+                    # pair path: G = (lam*Ul) M (lam*Ur)^T indexes the
+                    # pairing by (p,t) DIRECTLY, so the [L,P,T,P,T] panel
+                    # gathers (measured ~1.7 ms EACH on this chip — TPU
+                    # gathers serialize) disappear. Host dd product is
+                    # exact to the compiler's word count (numpy IEEE f64,
+                    # Dekker two_prod).
+                    from ..dd import core as _core
+
+                    lamw = cat("lam")
+                    lam3 = tuple(w.reshape(w.shape[0], -1, 1) for w in lamw)
+                    Ulww = _core.dd_mul(lam3, tuple(Ul))
+                    Urww = _core.dd_mul(lam3, tuple(Ur))
                     common.update(
-                        V=_dd(Vw), lam=_dd(cat("lam")),
+                        V=_dd(Vw), lam=_dd(lamw),
                         li=jnp.asarray(li), ri=jnp.asarray(ri),
                         tmask=jnp.asarray(tm).astype(dtype),
-                        Ul=_dd(tuple(Ul)), Ur=_dd(tuple(Ur)))
+                        Ul=_dd(tuple(Ul)), Ur=_dd(tuple(Ur)),
+                        Ulw=_dd(Ulww), Urw=_dd(Urww),
+                        use_pairs=(Jp * Lcp) * (P * T) ** 2
+                        <= _SCHUR_T1_BATCH_BUDGET)
                 else:
                     common.update(A=_dd(cat("A")))
                 classes.append(_DevClass(**common))
@@ -535,35 +557,54 @@ class DeviceSDP:
         from ..dd.limb_gemm import host_precompute
 
         nw = self.nw
+
+        def _stackpre(mats, axis):
+            ls, es = [], []
+            for ws in mats:
+                lb, eb = host_precompute(ws, nw, axis=axis)
+                ls.append(lb)
+                es.append(eb)
+            return (jnp.asarray(np.stack(ls)), jnp.asarray(np.stack(es)))
+
         for cl in self.clusters:
             for k in cl.classes:
                 if k.kind != "lowrank":
                     continue
-                Vw = [np.asarray(c) for c in k.V]
-                lr, er, lt, et = [], [], [], []
-                for l in range(k.L):
-                    lb, eb = host_precompute([w[l] for w in Vw], nw, axis=0)
-                    lr.append(lb)
-                    er.append(eb)
-                    la, ea = host_precompute([w[l].T for w in Vw], nw, axis=1)
-                    lt.append(la)
-                    et.append(ea)
-                lr, er = np.stack(lr), np.stack(er)
-                lt, et = np.stack(lt), np.stack(et)
-                k.Vpre_r = (jnp.asarray(lr), jnp.asarray(er))
-                k.Vtpre_l = (jnp.asarray(lt), jnp.asarray(et))
-                k.V2pre_r = (jnp.asarray(np.concatenate([lr, lr])),
-                             jnp.asarray(np.concatenate([er, er])))
-                k.V2tpre_l = (jnp.asarray(np.concatenate([lt, lt])),
-                              jnp.asarray(np.concatenate([et, et])))
+                if not k.use_pairs:
+                    # dedup'd V panels only feed the non-pairs Schur path
+                    Vw = [np.asarray(c) for c in k.V]
+                    lr, er, lt, et = [], [], [], []
+                    for l in range(k.L):
+                        lb, eb = host_precompute([w[l] for w in Vw], nw,
+                                                 axis=0)
+                        lr.append(lb)
+                        er.append(eb)
+                        la, ea = host_precompute([w[l].T for w in Vw], nw,
+                                                 axis=1)
+                        lt.append(la)
+                        et.append(ea)
+                    lr, er = np.stack(lr), np.stack(er)
+                    lt, et = np.stack(lt), np.stack(et)
+                    k.Vpre_r = (jnp.asarray(lr), jnp.asarray(er))
+                    k.Vtpre_l = (jnp.asarray(lt), jnp.asarray(et))
+                    k.V2pre_r = (jnp.asarray(np.concatenate([lr, lr])),
+                                 jnp.asarray(np.concatenate([er, er])))
+                    k.V2tpre_l = (jnp.asarray(np.concatenate([lt, lt])),
+                                  jnp.asarray(np.concatenate([et, et])))
                 Uw = [np.asarray(c) for c in k.Ur]
-                lu, eu = [], []
-                for l in range(k.L):
-                    lb, eb = host_precompute([w[l] for w in Uw], nw, axis=0)
-                    lu.append(lb)
-                    eu.append(eb)
-                k.Urpre_r = (jnp.asarray(np.stack(lu)),
-                             jnp.asarray(np.stack(eu)))
+                k.Urpre_r = _stackpre([[w[l] for w in Uw]
+                                       for l in range(k.L)], axis=0)
+                # pair-path constants: [Ulw; Ul] left, [Urw^T; Ur^T] right
+                Ulw_ = [np.asarray(c) for c in k.Ulw]
+                Ul_ = [np.asarray(c) for c in k.Ul]
+                Urw_ = [np.asarray(c) for c in k.Urw]
+                k.U2pre_l = _stackpre(
+                    [[w[l] for w in Ulw_] for l in range(k.L)]
+                    + [[w[l] for w in Ul_] for l in range(k.L)], axis=1)
+                k.U2tpre_r = _stackpre(
+                    [[w[l].T for w in Urw_] for l in range(k.L)]
+                    + [[w[l].T for w in Uw] for l in range(k.L)], axis=0)
+                k.Ulpre_l = (k.U2pre_l[0][k.L:], k.U2pre_l[1][k.L:])
 
 
 def initial_state(ds: DeviceSDP, omega_p: float, omega_d: float):
@@ -620,6 +661,34 @@ def _panels_xy(k: _DevClass, Xb, Yb):
     return PX, PY
 
 
+def _pairs_xy(k: _DevClass, Xb, Yb):
+    """Gather-free pairing pair for the Schur assembly + trace_A:
+
+        GXw = (lam Ul) X^-1 (lam Ur)^T     [L, PT, PT]
+        GY  =      Ul  Y        Ur^T       [L, PT, PT]
+
+    indexed by the term rows (p, t) DIRECTLY, so S and <A_*, Y> read them
+    with reshapes/diagonals instead of the [L,P,T,P,T] panel gathers
+    (TPU gathers serialize: measured ~1.7 ms per 131k-element gather on
+    this chip, 10 of them per Schur build — the round-4 hot spot). Both
+    pairings run as ONE [2L]-stacked batched GEMM pair, with the constant
+    U tables host-precomputed to limb form on the f32 substrate."""
+    M2 = tuple(jnp.concatenate([a, b], 0) for a, b in zip(Xb, Yb))
+    if k.U2pre_l is not None:
+        UM = _bmm_pre_l(M2, k.U2pre_l, len(M2))      # [2L, PT, n]
+        G2 = _bmm_pre_r(UM, k.U2tpre_r)              # [2L, PT, PT]
+    else:
+        U_l = tuple(jnp.concatenate([a, b], 0)
+                    for a, b in zip(k.Ulw, k.Ul))
+        U_rt = tuple(jnp.concatenate([a, b], 0) for a, b in zip(
+            dl.dd_transpose_b(k.Urw), dl.dd_transpose_b(k.Ur)))
+        UM = _bmm(U_l, M2)
+        G2 = _bmm(UM, U_rt)
+    GXw = tuple(c[:k.L] for c in G2)
+    GY = tuple(c[k.L:] for c in G2)
+    return GXw, GY
+
+
 def _gather_b(PM, li, ri):
     """PM[l, li[l,p,t], ri[l,p,t]] -> dd [L, P, T]."""
     L = li.shape[0]
@@ -630,16 +699,34 @@ def _gather_b(PM, li, ri):
 def _trace_A_cluster(cl: _DevCluster, Zs, Zsc, panels=None):
     """[<A_p, Z>]_p -> dd [J, P] for all rows of a cluster group
     (solver.jl:1289-1366). ``panels`` (optional, per class) short-circuits
-    the V^T Z V pairing when the caller already holds it."""
+    the pairing when the caller already holds it: the GY pair matrix for
+    ``use_pairs`` classes (its diagonal IS the trace vector), the V^T Z V
+    panel otherwise. With no panels, the Hadamard route 1^T(Ul Z o Ur)
+    (the reference's own trick, solver.jl:1290-1366) — one GEMM +
+    elementwise reduce, no gathers."""
     J, P = cl.J, cl.nrows
     tot = dl.dd_zeros((J, P), cl.nw, dtype=cl.dtype)
     for ki, (k, Z) in enumerate(zip(cl.classes, Zs)):
         if k.kind == "lowrank":
-            PZ = panels[ki] if panels is not None and panels[ki] is not None \
-                else _panel_b(k, Z)                   # [J*Lc, m, m]
-            g = _gather_b(PZ, k.li, k.ri)             # [J*Lc, P, T]
-            v = dd_mul(k.lam, g)
-            v = _dd_scale(v, k.tmask)
+            L, P_, T = k.li.shape
+            have_panel = panels is not None and panels[ki] is not None
+            if have_panel and k.use_pairs:
+                GY = panels[ki]                       # [L, PT, PT]
+                g = tuple(jnp.diagonal(c, axis1=1, axis2=2)
+                          .reshape(L, P_, T) for c in GY)
+                v = dd_mul(k.lam, g)                  # tmask already in U
+            elif have_panel:
+                PZ = panels[ki]                       # [J*Lc, m, m]
+                g = _gather_b(PZ, k.li, k.ri)         # [J*Lc, P, T]
+                v = _dd_scale(dd_mul(k.lam, g), k.tmask)
+            else:
+                # Hadamard: <A_p, Z> = sum_t lam (Ul Z)[pt,:] . Ur[pt,:]
+                if k.Ulpre_l is not None:
+                    UZ = _bmm_pre_l(Z, k.Ulpre_l, cl.nw)
+                else:
+                    UZ = _bmm(k.Ul, Z)                # [L, PT, n]
+                h = dl.dd_sum(dd_mul(UZ, k.Ur), axis=2)   # [L, PT]
+                v = dd_mul(k.lam, tuple(c.reshape(L, P_, T) for c in h))
             # reduce over this cluster's Lc blocks and T terms only
             s = dl.dd_sum(tuple(
                 jnp.moveaxis(c, 1, 2).reshape(J, -1, P) for c in v), axis=1)
@@ -700,6 +787,29 @@ def _schur_cluster(cl: _DevCluster, Xinvs, Ys, Xinv_s, Y_s, panels=None):
     S = dl.dd_zeros((J, P, P), cl.nw, dtype=cl.dtype)
     for ki, (k, Xinv, Y) in enumerate(zip(cl.classes, Xinvs, Ys)):
         if k.kind == "lowrank":
+            L, P_, T = k.li.shape
+            if k.use_pairs:
+                # gather-free pair path: S_pq = sum_{l,t1,t2}
+                #   GXw[l, pt1, qt2] * GY[l, qt2, pt1]
+                # with GXw/GY the (lam-weighted) term-table pairings
+                # (:func:`_pairs_xy`) — pure GEMMs + reshapes, replacing
+                # the serialized [L,P,T,P,T] panel gathers (round-4 hot
+                # spot). lam and tmask are folded into the U tables.
+                if panels is not None and panels[ki] is not None:
+                    GXw, GY = panels[ki]
+                else:
+                    GXw, GY = _pairs_xy(k, Xinv, Y)
+                gx5 = tuple(c.reshape(L, P_, T, P_, T) for c in GXw)
+                gy5 = tuple(jnp.swapaxes(c, 1, 2)
+                            .reshape(L, P_, T, P_, T)
+                            for c in GY)              # GY^T[pt1, qt2]
+                v = dd_mul(gx5, gy5)
+                vt = tuple(jnp.moveaxis(c, 2, 3).reshape(L, P_, P_, T * T)
+                           for c in v)
+                contrib = dl.dd_sum(vt, axis=3)
+                S = dd_add(S, dl.dd_sum(tuple(
+                    c.reshape(J, k.Lc, P, P) for c in contrib), axis=1))
+                continue
             if panels is not None and panels[ki] is not None:
                 PX, PY = panels[ki]
             else:
@@ -714,48 +824,28 @@ def _schur_cluster(cl: _DevCluster, Xinvs, Ys, Xinv_s, Y_s, panels=None):
             # keeps three-point-scale problems (P in the hundreds) on chip.
             # The reference's analogue is the quadruple contraction loop
             # (solver.jl:1176-1212).
-            L, P_, T = k.li.shape
             lidx = jnp.arange(L)[:, None, None, None]
             li2 = k.li[:, None, :, :]                 # [L,1,P,T] (q,t2)
             ri2 = k.ri[:, None, :, :]
             lam2 = tuple(c[:, None, :, :] for c in k.lam)
             m2 = k.tmask[:, None, :, :]
-            if L * P_ * P_ * T * T <= _SCHUR_T1_BATCH_BUDGET:
-                # small term tables: ONE [L,P,T,P,T] gather instead of a
-                # T-times-unrolled loop — T times fewer traced ops (the
-                # compile-time lever for the common T <= 3 case)
-                lidx5 = lidx[..., None]
-                li1 = k.li[:, :, :, None, None]       # [L,P,T,1,1]
-                ri1 = k.ri[:, :, :, None, None]
-                gx = tuple(c[lidx5, li1, ri2[:, :, None]] for c in PX)
-                gy = tuple(c[lidx5, ri1, li2[:, :, None]] for c in PYT)
-                v = dd_mul(tuple(c[:, None, None, :, :] for c in k.lam),
-                           dd_mul(gx, gy))            # [L,P,T,P,T]
-                v = dd_mul(v, tuple(c[:, :, :, None, None] for c in k.lam))
-                v = _dd_scale(v, k.tmask[:, None, None, :, :]
-                              * k.tmask[:, :, :, None, None])
-                # sum over both term axes (t1, t2) -> [L, P, P]
-                vt = tuple(jnp.moveaxis(c, 2, 3).reshape(L, P_, P_, T * T)
-                           for c in v)
-                contrib = dl.dd_sum(vt, axis=3)
-            else:
-                # Contract one term axis at a time (loop over t1,
-                # vectorized over t2): peak intermediate [L,P,P,T] instead
-                # of [L,P,T,P,T] — T times smaller, which keeps
-                # three-point-scale problems (P in the hundreds) on chip
-                contrib = None
-                for t1 in range(T):
-                    li1 = k.li[:, :, t1, None, None]  # [L,P,1,1]
-                    ri1 = k.ri[:, :, t1, None, None]
-                    gx = tuple(c[lidx, li1, ri2] for c in PX)   # [L,P,P,T]
-                    gy = tuple(c[lidx, ri1, li2] for c in PYT)  # PY[li2,ri1]
-                    v = dd_mul(lam2, dd_mul(gx, gy))
-                    v = _dd_scale(v, m2 * k.tmask[:, :, t1, None, None])
-                    inner = dl.dd_sum(v, axis=3)      # [L,P,P]
-                    lam1 = tuple(c[:, :, t1, None] for c in k.lam)
-                    term = dd_mul(lam1, inner)
-                    contrib = term if contrib is None \
-                        else dd_add(contrib, term)
+            # Contract one term axis at a time (loop over t1, vectorized
+            # over t2): peak intermediate [L,P,P,T] instead of
+            # [L,P,T,P,T] — T times smaller, which keeps three-point-scale
+            # problems (P in the hundreds) on chip
+            contrib = None
+            for t1 in range(T):
+                li1 = k.li[:, :, t1, None, None]      # [L,P,1,1]
+                ri1 = k.ri[:, :, t1, None, None]
+                gx = tuple(c[lidx, li1, ri2] for c in PX)   # [L,P,P,T]
+                gy = tuple(c[lidx, ri1, li2] for c in PYT)  # PY[li2,ri1]
+                v = dd_mul(lam2, dd_mul(gx, gy))
+                v = _dd_scale(v, m2 * k.tmask[:, :, t1, None, None])
+                inner = dl.dd_sum(v, axis=3)          # [L,P,P]
+                lam1 = tuple(c[:, :, t1, None] for c in k.lam)
+                term = dd_mul(lam1, inner)
+                contrib = term if contrib is None \
+                    else dd_add(contrib, term)
             # reduce over each cluster's Lc blocks only -> [J, P, P]
             S = dd_add(S, dl.dd_sum(tuple(
                 c.reshape(J, k.Lc, P, P) for c in contrib), axis=1))
@@ -1152,8 +1242,12 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
             xyc, pc = [], []
             for ki, k in enumerate(cl.classes):
                 xyc.append(_bmm(X[j][ki], Y[j][ki]))
-                pc.append(_panels_xy(k, Xinv[j][ki], Y[j][ki])
-                          if k.kind == "lowrank" else None)
+                if k.kind != "lowrank":
+                    pc.append(None)
+                elif k.use_pairs:
+                    pc.append(_pairs_xy(k, Xinv[j][ki], Y[j][ki]))
+                else:
+                    pc.append(_panels_xy(k, Xinv[j][ki], Y[j][ki]))
             XYs.append(xyc)
             panels.append(pc)
         panelsY = [[None if pc is None else pc[1] for pc in pj]

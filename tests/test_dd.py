@@ -129,3 +129,76 @@ def test_limb_gemm_dd_accuracy():
                         for t in range(k))
             got = sum(Fraction(float(out[w][i, j])) for w in range(len(out)))
             assert abs(got - truth) / sc < Fraction(1, 10 ** 29)
+
+
+# ---------------------------------------------------------------------------
+# blocked factorizations (large-n route: diagonal blocks via the sequential
+# kernels, trailing updates via expansion GEMMs — VERDICT r4 item 1)
+# ---------------------------------------------------------------------------
+
+def _spd_batch(rng, L, n):
+    M = rng.standard_normal((L, n, n))
+    return np.einsum("lij,lkj->lik", M, M) + n * np.eye(n)
+
+
+def _words_of(A, nw, dt):
+    a = (jnp.asarray(A, dtype=dt),)
+    return a + tuple(jnp.zeros_like(a[0]) for _ in range(nw - 1))
+
+
+@pytest.mark.parametrize("dt,nw,tol", [(jnp.float64, 2, 1e-26),
+                                       (jnp.float32, 5, 1e-30)])
+def test_blocked_cholesky_matches_unblocked(rng, dt, nw, tol):
+    """Blocked right-looking chol == row-sequential chol up to the per-GEMM
+    nw-word rounding, on both substrates (n=130 exercises a ragged final
+    diagonal block)."""
+    from clrs_tpu.dd.core import dd_sub
+
+    n = 130
+    a = _words_of(_spd_batch(rng, 2, n), nw, dt)
+    Lb, okb = linalg.b_cholesky(a)          # blocked (n >= _BLK_MIN)
+    assert bool(jnp.all(okb))
+    linalg._USE_BLOCKED = False
+    try:
+        Lr, okr = linalg.b_cholesky(a)
+    finally:
+        linalg._USE_BLOCKED = None
+    assert bool(jnp.all(okr))
+    scale = float(linalg.dd_max_abs(Lr))
+    assert float(linalg.dd_max_abs(dd_sub(Lb, Lr))) < tol * scale
+
+
+@pytest.mark.parametrize("dt,nw,tol", [(jnp.float64, 2, 1e-24),
+                                       (jnp.float32, 5, 1e-28)])
+def test_blocked_trisolves_match_unblocked(rng, dt, nw, tol):
+    from clrs_tpu.dd.core import dd_sub
+
+    n = 130
+    a = _words_of(_spd_batch(rng, 2, n), nw, dt)
+    L, ok = linalg.b_cholesky(a)
+    assert bool(jnp.all(ok))
+    b = _words_of(rng.standard_normal((2, n, 3)), nw, dt)
+    xb = linalg.b_solve_tril(L, b)
+    xtb = linalg.b_solve_tril_t(L, b)
+    linalg._USE_BLOCKED = False
+    try:
+        xr = linalg.b_solve_tril(L, b)
+        xtr = linalg.b_solve_tril_t(L, b)
+    finally:
+        linalg._USE_BLOCKED = None
+    s1 = max(1.0, float(linalg.dd_max_abs(xr)))
+    s2 = max(1.0, float(linalg.dd_max_abs(xtr)))
+    assert float(linalg.dd_max_abs(dd_sub(xb, xr))) < tol * s1
+    assert float(linalg.dd_max_abs(dd_sub(xtb, xtr))) < tol * s2
+
+
+def test_blocked_cholesky_failure_flag(rng):
+    """A non-PSD pivot in a LATE diagonal block must flip ok (per batch
+    element) through the blocked route."""
+    n = 130
+    A = _spd_batch(rng, 2, n)
+    A[1, n - 3, n - 3] = -50.0 * n  # indefinite trailing block, element 1
+    a = _words_of(A, 2, jnp.float64)
+    _, ok = linalg.b_cholesky(a)
+    ok = np.asarray(ok)
+    assert bool(ok[0]) and not bool(ok[1])

@@ -191,3 +191,38 @@ def test_pl_extract_bit_identical_to_xla_extraction():
         assert np.array_equal(np.asarray(c0), np.asarray(c1))
     for c0, c1 in zip(p0, p1):
         assert np.array_equal(np.asarray(c0), np.asarray(c1))
+
+
+def test_pl_cascade_grid_bit_identical_to_xla_cascade():
+    """The GRID-TILED cascade kernel (the route for GEMMs whose int8-GEMM
+    output exceeds the whole-C VMEM budget — every Schur-scale panel GEMM)
+    must be bit-identical to the XLA segment_sum + cascade form. Forced on
+    CPU through the Pallas interpreter by shrinking the budget to 0, which
+    routes EVERY shape through pl_cascade_tiles_grid; non-tile-multiple
+    (m, n) exercises the padding path."""
+    from clrs_tpu.dd import limb_gemm as lg
+
+    rng = np.random.default_rng(5)
+
+    def mkw(vals, nw=5):
+        h = np.asarray(vals, np.float64)
+        ws = []
+        for _ in range(nw):
+            w = h.astype(np.float32)
+            ws.append(jnp.asarray(w))
+            h = h - w.astype(np.float64)
+        return tuple(ws)
+
+    A = mkw(rng.standard_normal((7, 9)) * 10.0 ** rng.integers(-6, 6, (7, 9)))
+    B = mkw(rng.standard_normal((9, 5)))
+    old, oldb = lg._USE_PLCASCADE, lg._PLCASCADE_C_BUDGET
+    try:
+        lg._USE_PLCASCADE = False
+        r0 = jax.jit(lambda a, b: lg.fx_matmul(a, b))(A, B)
+        lg._USE_PLCASCADE = True
+        lg._PLCASCADE_C_BUDGET = 0          # force the grid-tiled route
+        r1 = jax.jit(lambda a, b: lg.fx_matmul(a, b))(A, B)
+    finally:
+        lg._USE_PLCASCADE, lg._PLCASCADE_C_BUDGET = old, oldb
+    for c0, c1 in zip(r0, r1):
+        assert np.array_equal(np.asarray(c0), np.asarray(c1))
