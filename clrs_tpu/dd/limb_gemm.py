@@ -119,6 +119,18 @@ def _use_plextract():
     return jax.default_backend() == "tpu"
 
 
+# test override: force (True) / disable (False) the FUSED limb-GEMM kernel
+# (dot + cascade in one kernel; the TPU route for GEMMs whose int8 output
+# would blow the whole-C VMEM budget)
+_USE_PLFUSED = None
+
+
+def _use_plfused():
+    if _USE_PLFUSED is not None:
+        return _USE_PLFUSED
+    return jax.default_backend() == "tpu"
+
+
 def _extract_limbs(words, L):
     """Split a scaled f32 expansion (|value| <= ~1/2) into L int8 limbs.
 
@@ -175,6 +187,43 @@ def fx_matmul(a, b, nw=None, pre_a=None, pre_b=None):
     use_plx = _use_plextract()
     if use_plx:
         from .pallas_linalg import pl_extract
+
+    ndiag = min(2 * L - 1, bits_needed // LIMB_BITS + 1)
+
+    # FUSED route for GEMMs whose int8 output C would exceed the whole-C
+    # VMEM budget: MXU dots + diagonal cascade in ONE kernel per output
+    # tile, so C (L^2 x the logical result) never touches HBM. Operands in
+    # limb-major [L, m, k] / [L, k, n] — exactly host_precompute's layout,
+    # so constant operands skip the runtime moveaxis/reshape copies too.
+    if (_use_plfused()
+            and (L * m) * (L * n) * 4 > _PLCASCADE_C_BUDGET):
+        from .pallas_linalg import _fused_tile_sizes, pl_limb_gemm_fused
+
+        if _fused_tile_sizes(m, n, L, k, _PLCASCADE_C_BUDGET) is not None:
+            if pre_a is None:
+                if use_plx:
+                    la3, ea = pl_extract(a, L, "a3", LIMB_BITS)
+                    A3 = la3.astype(jnp.int8)
+                else:
+                    ea = _row_exp_f32(a[0], axis=1)
+                    asc = tuple(mul_pow2_f32(c, -ea) for c in a)
+                    A3 = _extract_limbs(asc, L)          # [L, m, k] int8
+            else:
+                A3, ea = pre_a
+            if pre_b is None:
+                if use_plx:
+                    lb3, eb = pl_extract(b, L, "b3", LIMB_BITS)
+                    B3 = lb3.astype(jnp.int8)
+                else:
+                    eb = _row_exp_f32(b[0], axis=0)
+                    bsc = tuple(mul_pow2_f32(c, -eb) for c in b)
+                    B3 = _extract_limbs(bsc, L)          # [L, k, n] int8
+            else:
+                B3, eb = pre_b
+            eab = jnp.broadcast_to((ea + eb).astype(jnp.int32), (m, n))
+            return pl_limb_gemm_fused(A3, B3, eab, nw, LIMB_BITS, L,
+                                      ndiag, _PLCASCADE_C_BUDGET)
+
     if pre_a is None:
         if use_plx and L * m * k * 4 <= _PLCASCADE_C_BUDGET:
             # scaling + extraction + A-layout as ONE Pallas kernel
@@ -204,7 +253,6 @@ def fx_matmul(a, b, nw=None, pre_a=None, pre_b=None):
     C = jax.lax.dot_general(A, B, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
 
-    ndiag = min(2 * L - 1, bits_needed // LIMB_BITS + 1)
     eab = (ea + eb).astype(jnp.int32)            # (M,N)
 
     if _use_plcascade():

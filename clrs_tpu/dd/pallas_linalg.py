@@ -491,6 +491,104 @@ def pl_cascade_tiles_grid(C, eab, nw, limb_bits, L, m, n, ndiag, budget):
 
 
 @functools.lru_cache(maxsize=None)
+def _limb_gemm_fused_call(nw, L, ndiag, Mp, Np, k, tm, tn, limb_bits):
+    """FUSED limb GEMM: the int8 MXU dots AND the diagonal cascade run in
+    ONE kernel per output tile, so the [L*m, L*n] int32 GEMM output (L^2 =
+    hundreds of times the logical result — 461 MB for a [256,128]@[128,256]
+    pair GEMM at nw=5) never exists in HBM. Replaces the XLA dot_general +
+    layout-splitting reshape copies + cascade-kernel HBM reads, which
+    together dominated every large GEMM of the Schur-scale tier.
+
+    Operands arrive limb-major: A [L, m, k] int8, B [L, k, n] int8 (the
+    layouts host_precompute already emits); per (tm, tn) output tile the
+    kernel computes D[d] = sum_{ta+tb=d} A[ta] @ B[tb] (int32, exact,
+    order-independent) and folds each diagonal with the same
+    _cascade_fold/_cascade_out EFT sequence as the XLA path — bit-identical
+    by construction."""
+
+    def kernel(a_ref, b_ref, e_ref, out_ref):
+        eab = e_ref[...]
+        acc = [jnp.zeros((tm, tn), jnp.float32) for _ in range(nw + 2)]
+        for d in range(ndiag):
+            D = None
+            for ta in range(max(0, d - (L - 1)), min(d, L - 1) + 1):
+                t = jax.lax.dot_general(
+                    a_ref[ta], b_ref[d - ta], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                D = t if D is None else D + t
+            acc = _cascade_fold(acc, D, d, eab, limb_bits)
+        cs = _pl_vsum(_pl_vsum(acc))
+        out = list(cs[:nw])
+        for i in range(nw, nw + 2):
+            out[-1] = out[-1] + cs[i]
+        for w in range(nw):
+            out_ref[w] = out[w]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(Mp // tm, Np // tn),
+        in_specs=[pl.BlockSpec((L, tm, k),
+                               lambda i, j: (np.int32(0), i, np.int32(0)),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((L, k, tn),
+                               lambda i, j: (np.int32(0), np.int32(0), j),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((nw, tm, tn),
+                               lambda i, j: (np.int32(0), i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nw, Mp, Np), jnp.float32),
+        interpret=_interpret(),
+    )
+
+
+def _fused_tile_sizes(m, n, L, k, budget):
+    """(tm, tn) powers of two with the A/B/acc VMEM footprint within
+    ``budget``; None when no workable tiling exists (huge k)."""
+    def pow2_at_most(v, cap):
+        t = 8
+        while t * 2 <= min(v, cap):
+            t *= 2
+        return t
+
+    tn = pow2_at_most(max(n, 8), 128)
+    tm = pow2_at_most(max(m, 8), 128)
+
+    def fp(tm, tn):
+        # A block int8 + B block int8 + (nw+2<=10)-word f32 acc + int32 D
+        return L * tm * k + L * k * tn + 11 * tm * tn * 4
+
+    while fp(tm, tn) > budget and tm > 8:
+        tm //= 2
+    while fp(tm, tn) > budget and tn > 8:
+        tn //= 2
+    return (tm, tn) if fp(tm, tn) <= budget else None
+
+
+def pl_limb_gemm_fused(a3, b3, eab, nw, limb_bits, L, ndiag, budget):
+    """a3 int8 [L, m, k], b3 int8 [L, k, n], eab int32 [m, n] -> nw-word
+    f32 tuple; see :func:`_limb_gemm_fused_call`. Pads (m, n) to tile
+    multiples (padded rows/cols cascade zeros, sliced off)."""
+    _, m, k = a3.shape
+    n = b3.shape[2]
+    tms = _fused_tile_sizes(m, n, L, k, budget)
+    assert tms is not None, (m, n, k, L)
+    tm, tn = tms
+    Mp = -(-m // tm) * tm
+    Np = -(-n // tn) * tn
+    if Mp != m:
+        a3 = jnp.pad(a3, ((0, 0), (0, Mp - m), (0, 0)))
+    if Np != n:
+        b3 = jnp.pad(b3, ((0, 0), (0, 0), (0, Np - n)))
+    if (Mp, Np) != (m, n):
+        eab = jnp.pad(eab, ((0, Mp - m), (0, Np - n)))
+    out = _limb_gemm_fused_call(nw, L, ndiag, Mp, Np, k, tm, tn,
+                                limb_bits)(a3, b3, eab)
+    return tuple(out[w, :m, :n] for w in range(nw))
+
+
+@functools.lru_cache(maxsize=None)
 def _extract_call(nw, Llimb, d0, d1, limb_bits, side):
     """Pallas kernel: per-row (side 'a') / per-column (side 'b') exponent
     scaling + Llimb-limb extraction of an f32 expansion, emitting limbs
@@ -501,9 +599,13 @@ def _extract_call(nw, Llimb, d0, d1, limb_bits, side):
     _extract_limbs (same exact pow2 scaling, the same magic-constant rint,
     expops two_sum == core two_sum sweeps). The unrolled XLA form costs
     ~Llimb*(2*nw+5) whole-tensor ops PER OPERAND — the largest single
-    contributor to the ~12k-op step body measured in the round-4 trace."""
+    contributor to the ~12k-op step body measured in the round-4 trace.
+
+    Sides 'a3'/'b3' emit the LIMB-MAJOR 3-D layout [Llimb, d0, d1] the
+    fused limb-GEMM kernel consumes (the same layout host_precompute
+    emits), instead of the concatenated 2-D GEMM-operand layout."""
     radix = np.float32(1 << limb_bits)
-    ax = 1 if side == "a" else 0
+    ax = 1 if side in ("a", "a3") else 0
 
     def kernel(w_ref, l_ref, e_ref):
         ws = [w_ref[0, w] for w in range(nw)]
@@ -527,12 +629,20 @@ def _extract_call(nw, Llimb, d0, d1, limb_bits, side):
             di = d.astype(jnp.int32)
             if side == "a":
                 l_ref[0, t * d0:(t + 1) * d0, :] = di
-            else:
+            elif side == "b":
                 l_ref[0, :, t * d1:(t + 1) * d1] = di
+            else:                       # 'a3'/'b3': limb-major 3-D layout
+                l_ref[0, t] = di
         e_ref[0] = e
 
-    lshape = (Llimb * d0, d1) if side == "a" else (d0, Llimb * d1)
-    eshape = (d0, 1) if side == "a" else (1, d1)
+    if side == "a":
+        lshape = (Llimb * d0, d1)
+    elif side == "b":
+        lshape = (d0, Llimb * d1)
+    else:
+        lshape = (Llimb, d0, d1)
+    eshape = (d0, 1) if side in ("a", "a3") else (1, d1)
+    nz = len(lshape)
     return pl.pallas_call(
         kernel,
         grid=(1,),
@@ -541,7 +651,7 @@ def _extract_call(nw, Llimb, d0, d1, limb_bits, side):
                                           np.int32(0)),
                                memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec((1,) + lshape,
-                                lambda i: (i, np.int32(0), np.int32(0)),
+                                lambda i, nz=nz: (i,) + (np.int32(0),) * nz,
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1,) + eshape,
                                 lambda i: (i, np.int32(0), np.int32(0)),

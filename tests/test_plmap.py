@@ -226,3 +226,48 @@ def test_pl_cascade_grid_bit_identical_to_xla_cascade():
         lg._USE_PLCASCADE, lg._PLCASCADE_C_BUDGET = old, oldb
     for c0, c1 in zip(r0, r1):
         assert np.array_equal(np.asarray(c0), np.asarray(c1))
+
+
+def test_pl_limb_gemm_fused_bit_identical_to_xla():
+    """The FUSED limb-GEMM kernel (MXU dots + diagonal cascade in ONE
+    kernel — the route for GEMMs whose int8 output exceeds the whole-C
+    VMEM budget) must be bit-identical to the XLA segment_sum + cascade
+    form: int32 diagonal sums are associative-exact and the EFT fold
+    sequence is shared. Forced on CPU through the Pallas interpreter with
+    budget 0; covers runtime-extracted and host-precomputed operands and
+    non-tile-multiple shapes (padding)."""
+    from clrs_tpu.dd import limb_gemm as lg
+
+    rng = np.random.default_rng(9)
+
+    def mkw(vals, nw=5):
+        h = np.asarray(vals, np.float64)
+        ws = []
+        for _ in range(nw):
+            w = h.astype(np.float32)
+            ws.append(jnp.asarray(w))
+            h = h - w.astype(np.float64)
+        return tuple(ws)
+
+    A = mkw(rng.standard_normal((7, 9)) * 10.0 ** rng.integers(-6, 6, (7, 9)))
+    B = mkw(rng.standard_normal((9, 5)))
+    pre_b = lg.host_precompute(tuple(np.asarray(c) for c in B), 5, axis=0)
+    pre_b = (jnp.asarray(pre_b[0]), jnp.asarray(pre_b[1]))
+    olds = (lg._USE_PLCASCADE, lg._USE_PLEXTRACT, lg._USE_PLFUSED,
+            lg._PLCASCADE_C_BUDGET)
+    try:
+        lg._USE_PLCASCADE = lg._USE_PLEXTRACT = lg._USE_PLFUSED = False
+        r0 = jax.jit(lambda a, b: lg.fx_matmul(a, b))(A, B)
+        p0 = jax.jit(lambda a: lg.fx_matmul(a, None, nw=5, pre_b=pre_b))(A)
+        lg._USE_PLFUSED = True
+        lg._USE_PLEXTRACT = True
+        lg._PLCASCADE_C_BUDGET = 0          # force the fused route
+        r1 = jax.jit(lambda a, b: lg.fx_matmul(a, b))(A, B)
+        p1 = jax.jit(lambda a: lg.fx_matmul(a, None, nw=5, pre_b=pre_b))(A)
+    finally:
+        (lg._USE_PLCASCADE, lg._USE_PLEXTRACT, lg._USE_PLFUSED,
+         lg._PLCASCADE_C_BUDGET) = olds
+    for c0, c1 in zip(r0, r1):
+        assert np.array_equal(np.asarray(c0), np.asarray(c1))
+    for c0, c1 in zip(p0, p1):
+        assert np.array_equal(np.asarray(c0), np.asarray(c1))
