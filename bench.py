@@ -43,17 +43,38 @@ from delsarte import delsarte_problem  # noqa: E402
 
 BASELINE_ITERS_PER_S = 1000.0 / 18.0  # reference: ~18 ms/iter
 
+# TPU v5e (this chip reports "TPU v5 lite") peak: 394.7 int8 TOPS
+# (bf16 197.4 TFLOPS doubled for int8) — the MFU denominator.
+V5E_INT8_PEAK_OPS = 394.7e12
 
-def bench_problem(problem, n_iters=20):
+
+def count_step_macs(ds, **step_kw):
+    """int8 MXU ops issued per IPM iteration (2 ops/MAC, incl. the limb
+    blowup): trace the step body once with the fx_matmul MAC counter on.
+    VERDICT r4 item 5 — makes 'is the MXU actually busy' a number."""
+    from clrs_tpu.dd import limb_gemm as lg
+    from clrs_tpu.solver.step import make_step_body
+
+    body = make_step_body(ds, **step_kw)
+    state = initial_state(ds, 100.0, 100.0)
+    lg._MAC_COUNTER = []
+    try:
+        jax.eval_shape(body, state, jax.ShapeDtypeStruct((), bool))
+        return sum(lg._MAC_COUNTER)
+    finally:
+        lg._MAC_COUNTER = None
+
+
+def bench_problem(problem, n_iters=20, nw=None, report_mfu=False):
     """Time ``n_iters`` committed IPM iterations in ONE device dispatch;
-    returns iterations/s."""
+    returns (iterations/s, mfu or None)."""
     import jax.numpy as jnp
 
     sdp = ClusteredLowRankSDP(problem)
     if jax.default_backend() == "tpu":
-        ds = DeviceSDP(sdp, nw=5, dtype=jnp.float32)
+        ds = DeviceSDP(sdp, nw=nw or 5, dtype=jnp.float32)
     else:
-        ds = DeviceSDP(sdp)
+        ds = DeviceSDP(sdp, nw=nw or 2)
     # Device-side bounded while_loop: N iterations in ONE dispatch (the
     # production sync_every path). Thresholds are set so termination can
     # never fire mid-chunk (gap < 0.0 is impossible), so the loop runs
@@ -81,32 +102,58 @@ def bench_problem(problem, n_iters=20):
 
     assert int(itd) == n_iters and int(code) == 0, \
         f"benchmark chunk stopped early (it={int(itd)}, code={int(code)})"
-    return n_iters / dt
+    its = n_iters / dt
+    mfu = None
+    if report_mfu and jax.default_backend() == "tpu":
+        macs = count_step_macs(
+            ds, gamma=0.9, beta_feasible=0.1, beta_infeasible=0.3,
+            dual_error_threshold=1e-12, primal_error_threshold=1e-12)
+        mfu = {"int8_ops_per_iter": macs,
+               "achieved_tops": macs * its / 1e12,
+               "mfu_vs_v5e_int8_peak": macs * its / V5E_INT8_PEAK_OPS}
+    return its, mfu
 
 
 def main():
     # headline: latency-bound tiny problem vs the reference's ~18 ms/iter
-    value = bench_problem(delsarte_problem(3, 10, Fraction(1, 2)))
-    result = json.dumps({
+    value, mfu_small = bench_problem(delsarte_problem(3, 10, Fraction(1, 2)),
+                                     report_mfu=True)
+    result = {
         "metric": "ipm_iterations_per_s_delsarte_3_10",
         "value": value,
         "unit": "iterations/s",
         "vs_baseline": value / BASELINE_ITERS_PER_S,
-    })
+    }
+    if mfu_small:
+        result["mfu"] = mfu_small["mfu_vs_v5e_int8_peak"]
 
     # Schur-dominated scale metric (stderr; see module docstring)
     try:
-        v2 = bench_problem(delsarte_problem(3, 127, Fraction(1, 2)),
-                           n_iters=10)
+        v2, mfu_big = bench_problem(delsarte_problem(3, 127, Fraction(1, 2)),
+                                    n_iters=10, report_mfu=True)
         print(json.dumps({
             "metric": "ipm_ms_per_iter_delsarte_3_127_schur_dominated",
             "value": 1000.0 / v2,
             "unit": "ms/iteration",
+            "mfu": mfu_big,
         }), file=sys.stderr)
     except Exception as e:  # the headline metric must survive regardless
         print(f"schur-dominated bench failed: {e!r}", file=sys.stderr)
 
-    print(result)
+    # hi tier (nw=8, ~192-bit) on-chip datapoint (VERDICT r4 item 5)
+    try:
+        v3, mfu_hi = bench_problem(delsarte_problem(3, 10, Fraction(1, 2)),
+                                   n_iters=10, nw=8, report_mfu=True)
+        print(json.dumps({
+            "metric": "ipm_iterations_per_s_delsarte_3_10_hi_nw8",
+            "value": v3,
+            "unit": "iterations/s",
+            "mfu": mfu_hi,
+        }), file=sys.stderr)
+    except Exception as e:
+        print(f"hi-tier bench failed: {e!r}", file=sys.stderr)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -131,6 +131,41 @@ def _use_plfused():
     return jax.default_backend() == "tpu"
 
 
+# When set to a list, every fx_matmul call site appends its int8 MXU op
+# count (2 ops per MAC) during tracing — bench.py traces the IPM step once
+# with this enabled to compute MFU (ops actually issued to the MXU,
+# including the limb blowup; the fused kernel only multiplies the ndiag
+# diagonals it keeps, the XLA path multiplies all L^2 limb pairs).
+_MAC_COUNTER = None
+_MAC_SCALE = 1          # batch multiplicity inside vmapped call sites
+
+
+def _count_macs(L, ndiag, m, n, k, fused):
+    if fused:
+        npairs = sum(min(d, L - 1) - max(0, d - L + 1) + 1
+                     for d in range(ndiag))
+    else:
+        npairs = L * L
+    _MAC_COUNTER.append(2 * npairs * m * n * k * _MAC_SCALE)
+
+
+class mac_scale:
+    """Context manager multiplying counted MACs by a vmap batch size
+    (vmap hides the batch axis from fx_matmul's traced shapes)."""
+
+    def __init__(self, batch):
+        self.batch = batch
+
+    def __enter__(self):
+        global _MAC_SCALE
+        self._old = _MAC_SCALE
+        _MAC_SCALE = self._old * int(self.batch)
+
+    def __exit__(self, *exc):
+        global _MAC_SCALE
+        _MAC_SCALE = self._old
+
+
 def _extract_limbs(words, L):
     """Split a scaled f32 expansion (|value| <= ~1/2) into L int8 limbs.
 
@@ -200,6 +235,8 @@ def fx_matmul(a, b, nw=None, pre_a=None, pre_b=None):
         from .pallas_linalg import _fused_tile_sizes, pl_limb_gemm_fused
 
         if _fused_tile_sizes(m, n, L, k, _PLCASCADE_C_BUDGET) is not None:
+            if _MAC_COUNTER is not None:
+                _count_macs(L, ndiag, m, n, k, fused=True)
             if pre_a is None:
                 if use_plx:
                     la3, ea = pl_extract(a, L, "a3", LIMB_BITS)
@@ -250,6 +287,8 @@ def fx_matmul(a, b, nw=None, pre_a=None, pre_b=None):
         assert lb.shape[0] == L, (lb.shape, L)
         B = jnp.moveaxis(lb, 0, 1).reshape(k, L * n)
 
+    if _MAC_COUNTER is not None:
+        _count_macs(L, ndiag, m, n, k, fused=False)
     C = jax.lax.dot_general(A, B, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
 

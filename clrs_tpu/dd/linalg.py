@@ -363,7 +363,10 @@ def _sub_b(x, r0, r1, c0, c1):
 def _bmm_b(a, b):
     """Batched expansion GEMM over the leading axis (vmapped dd_matmul:
     fx_matmul limb GEMM on f32, slice/compensated GEMM on f64)."""
-    return jax.vmap(dd_matmul)(a, b)
+    from .limb_gemm import mac_scale
+
+    with mac_scale(a[0].shape[0]):
+        return jax.vmap(dd_matmul)(a, b)
 
 
 def _b_cholesky_blocked(a, nb=None):

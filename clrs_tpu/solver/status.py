@@ -121,12 +121,28 @@ def traceinner(m, v):
 
 
 def objvalue(problem_or_obj, sol: PrimalSolution):
-    """Objective value of a primal solution (interface.jl:1173-1204)."""
+    """Objective value of a primal solution (interface.jl:1173-1204).
+
+    Variables used in the objective but absent from the solution (removed
+    as unconstrained by the cleanup pass — the reference deletes their A
+    and C blocks, checks.jl:85-92, after warning via check_problem) are
+    skipped with a warning instead of raising."""
+    import warnings
+
     obj = problem_or_obj.objective if hasattr(problem_or_obj, "objective") else problem_or_obj
     tot = obj.constant
     for k, m in obj.matrixcoeff.items():
+        if k not in sol.matrixvars:
+            warnings.warn(f"objective variable {k!r} is not part of the "
+                          "solution (unconstrained variables are removed "
+                          "before solving); treating its contribution as 0")
+            continue
         tot = hp_add(tot, traceinner(m, sol.matrixvars[k]))
     for k, cf in obj.freecoeff.items():
+        if k not in sol.freevars:
+            warnings.warn(f"objective variable {k!r} is not part of the "
+                          "solution; treating its contribution as 0")
+            continue
         tot = hp_add(tot, hp_mul(cf, sol.freevars[k]))
     return tot
 

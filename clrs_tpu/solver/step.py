@@ -145,26 +145,35 @@ def _dd_scale(x, a):
 # leading [L] block axis (the reference's per-(j,l) threaded loops,
 # src/threadinginfo.jl:59-102)
 _bchol = dl.b_cholesky
-_bmm = jax.vmap(dl.dd_matmul)
+_bmm_raw = jax.vmap(dl.dd_matmul)
 _bsolve_tril = dl.b_solve_tril
 _bsolve_cholesky = dl.b_solve_cholesky
 
 
+def _bmm(a, b):
+    from ..dd.limb_gemm import mac_scale
+
+    with mac_scale(a[0].shape[0]):
+        return _bmm_raw(a, b)
+
+
 def _bmm_pre_r(a, pre):
     """Batched GEMM with a precomputed (constant) RIGHT operand."""
-    from ..dd.limb_gemm import fx_matmul
+    from ..dd.limb_gemm import fx_matmul, mac_scale
 
     nw = len(a)
-    return jax.vmap(lambda aa, lb, eb: fx_matmul(
-        aa, None, nw=nw, pre_b=(lb, eb)))(a, pre[0], pre[1])
+    with mac_scale(a[0].shape[0]):
+        return jax.vmap(lambda aa, lb, eb: fx_matmul(
+            aa, None, nw=nw, pre_b=(lb, eb)))(a, pre[0], pre[1])
 
 
 def _bmm_pre_l(b, pre, nw):
     """Batched GEMM with a precomputed (constant) LEFT operand."""
-    from ..dd.limb_gemm import fx_matmul
+    from ..dd.limb_gemm import fx_matmul, mac_scale
 
-    return jax.vmap(lambda bb, la, ea: fx_matmul(
-        None, bb, nw=nw, pre_a=(la, ea)))(b, pre[0], pre[1])
+    with mac_scale(b[0].shape[0]):
+        return jax.vmap(lambda bb, la, ea: fx_matmul(
+            None, bb, nw=nw, pre_a=(la, ea)))(b, pre[0], pre[1])
 
 
 @dataclasses.dataclass
@@ -233,6 +242,7 @@ class _DevCluster:
     jmask: Any = None            # dtype [J]: 1 real cluster, 0 padding
     s_nb: int = 0                # scalar-pack width Bs per cluster
     s_nreal: int = 0             # real 1x1 blocks in the whole group
+    row_shard: bool = False      # row-panel sharding over ds.row_mesh
     nw: int = 2                  # word count of the device expansion words
     dtype: Any = None            # working dtype of the expansion words
     # layout[jslot][l] -> (class index, flattened slot) per original block
@@ -287,6 +297,10 @@ class DeviceSDP:
                  mesh_divisor: int = 1):
         self.nw = nw
         self.dtype = dtype = dtype or jnp.float64
+        # row-panel sharding of single-cluster groups over a mesh
+        # (parallel.api.enable_row_sharding sets these + cl.row_shard)
+        self.row_mesh = None
+        self.row_axis = None
         _dd = lambda a: _w(a, nw, dtype)  # noqa: E731
         self.maximize = sdp.maximize
         self.sign = 1.0 if sdp.maximize else -1.0
@@ -711,9 +725,12 @@ def _trace_A_cluster(cl: _DevCluster, Zs, Zsc, panels=None):
             L, P_, T = k.li.shape
             have_panel = panels is not None and panels[ki] is not None
             if have_panel and k.use_pairs:
-                GY = panels[ki]                       # [L, PT, PT]
-                g = tuple(jnp.diagonal(c, axis1=1, axis2=2)
-                          .reshape(L, P_, T) for c in GY)
+                pan = panels[ki]
+                if isinstance(pan[0], str):           # ("diag", dgy [L,PT])
+                    g = tuple(c.reshape(L, P_, T) for c in pan[1])
+                else:                                 # GY [L, PT, PT]
+                    g = tuple(jnp.diagonal(c, axis1=1, axis2=2)
+                              .reshape(L, P_, T) for c in pan)
                 v = dd_mul(k.lam, g)                  # tmask already in U
             elif have_panel:
                 PZ = panels[ki]                       # [J*Lc, m, m]
@@ -778,6 +795,105 @@ def _weighted_A_cluster(cl: _DevCluster, a):
 # words at nw=5 when fully used); above it, the t1 loop caps the peak at
 # [L,P,P,T]
 _SCHUR_T1_BATCH_BUDGET = 2 ** 22
+
+
+# ---------------------------------------------------------------------------
+# row-sharded big-cluster path (shard_map over ds.row_mesh): the Schur
+# assembly, chol(S) and the KKT solves of ONE large cluster distribute by
+# row panels — parallel/bigcluster.py, VERDICT r4 item 3
+# ---------------------------------------------------------------------------
+
+def _row_cfg(ds, cl):
+    mesh, axis = ds.row_mesh, ds.row_axis
+    D = mesh.shape[axis]
+    nb = min(64, cl.nrows // D)
+    return mesh, axis, D, nb
+
+
+def _dist_schur_region(ds, cl, Xinv_cls, Y_cls, Xinv_s, Y_s):
+    """shard_map region: row-sharded Schur + chol(S) + L^-1 B for a
+    single-cluster group (cl.J == 1). Returns (cholS ['dist', L_sharded],
+    LinvB [1, P, F] replicated, dgys per class [L, PT] replicated, ok)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel import bigcluster as bc
+
+    mesh, axis, D, nb = _row_cfg(ds, cl)
+    Pn = cl.nrows
+    lks = [ki for ki, k in enumerate(cl.classes) if k.kind == "lowrank"]
+    B0 = tuple(c[0] for c in cl.B)                   # [P, F]
+    if cl.s_nb:
+        w = dd_mul(Xinv_s, Y_s)                      # [1, Bs]
+        sa0 = tuple(c[0] for c in cl.sa)
+        w0 = tuple(c[0] for c in w)
+    else:
+        sa0 = w0 = None
+
+    sharded2 = P(None, axis, None)                   # [Lc, PT, n] dim 1
+    repl = P()
+    args, specs = [], []
+    for ki in lks:
+        k = cl.classes[ki]
+        args += [k.Ulw, k.Ur, k.Urw, k.Ul, Xinv_cls[ki], Y_cls[ki]]
+        specs += [sharded2, sharded2, repl, repl, repl, repl]
+    if sa0 is not None:
+        args += [sa0, w0]
+        specs += [repl, repl]
+    args.append(B0)
+    specs.append(repl)
+
+    def region(*flat):
+        it = iter(flat)
+        S_loc = None
+        dgys = []
+        for ki in lks:
+            k = cl.classes[ki]
+            Ulw_loc, Ur_loc, Urw, Ul, Xi, Yb = (next(it) for _ in range(6))
+            k_local = dataclasses.replace(k, Urw=Urw, Ul=Ul)
+            S_k, dgy_loc = bc.dist_pairs_schur(k_local, Ulw_loc, Ur_loc,
+                                               Xi, Yb, axis)
+            S_loc = S_k if S_loc is None else dd_add(S_loc, S_k)
+            dgys.append(tuple(jax.lax.all_gather(c, axis, axis=1,
+                                                 tiled=True)
+                              for c in dgy_loc))     # [L, PT] replicated
+        if sa0 is not None:
+            sa, wv = next(it), next(it)
+            dev = jax.lax.axis_index(axis)
+            S_loc = dd_add(S_loc, bc.dist_scalar_schur_rows(
+                sa, wv, dev, Pn // D, axis))
+        B0_ = next(it)
+        L_loc, ok = bc.dist_cholesky(S_loc, Pn, axis, nb)
+        LinvB = bc.dist_solve_tril(L_loc, B0_, Pn, axis, nb)
+        return L_loc, LinvB, dgys, ok
+
+    f = bc.shard_map(region, mesh=mesh, in_specs=tuple(specs),
+                     out_specs=(P(axis, None), repl, repl, repl),
+                     check_rep=False)
+    L_loc, LinvB, dgys, ok = f(*args)
+    LinvB = tuple(c[None] for c in LinvB)            # [1, P, F]
+    return ("dist", L_loc), LinvB, dgys, ok
+
+
+def _dist_solve(ds, cl, cholS, rhs, transpose=False):
+    """shard_map region: L X = rhs / L^T X = rhs with the row-sharded
+    factor from :func:`_dist_schur_region`. rhs [1, P, m] replicated."""
+    from jax.sharding import PartitionSpec as P
+    from ..parallel import bigcluster as bc
+
+    mesh, axis, D, nb = _row_cfg(ds, cl)
+    Pn = cl.nrows
+    L_loc = cholS[1]
+    r0 = tuple(c[0] for c in rhs)                    # [P, m]
+
+    def region(L_loc, r0):
+        if transpose:
+            return bc.dist_solve_tril_t(L_loc, r0, Pn, axis, nb)
+        return bc.dist_solve_tril(L_loc, r0, Pn, axis, nb)
+
+    f = bc.shard_map(region, mesh=mesh,
+                     in_specs=(P(axis, None), P()),
+                     out_specs=P(), check_rep=False)
+    out = f(L_loc, r0)
+    return tuple(c[None] for c in out)               # [1, P, m]
 
 
 def _schur_cluster(cl: _DevCluster, Xinvs, Ys, Xinv_s, Y_s, panels=None):
@@ -997,7 +1113,7 @@ def _eig_lo_verified(W2):
     per-matrix certificate replacing the blanket margin. (The reference's
     own step length is UNVERIFIED Float64 Lanczos, solver.jl:1659; this is
     strictly stronger.)"""
-    from ..dd.limb_gemm import fx_matmul
+    from ..dd.limb_gemm import fx_matmul, mac_scale
 
     nw = len(W2)
     A32 = W2[0]
@@ -1011,13 +1127,15 @@ def _eig_lo_verified(W2):
     z = jnp.zeros_like(p)
     VD = (p, e) + (z,) * (nw - 2)
     Vt = jnp.swapaxes(V, -1, -2)
-    M = jax.vmap(lambda a, b: fx_matmul(a, b))(VD, (Vt,))
+    with mac_scale(V.shape[0]):
+        M = jax.vmap(lambda a, b: fx_matmul(a, b))(VD, (Vt,))
     E = dd_sub(W2, M)
     Ev = E[0].astype(jnp.float64)
     for c in E[1:]:
         Ev = Ev + c.astype(jnp.float64)
     eta = jnp.sqrt(jnp.sum(Ev * Ev, axis=(-2, -1)))
-    G = jax.vmap(lambda a, b: fx_matmul(a, b, nw=2))((Vt,), (V,))
+    with mac_scale(V.shape[0]):
+        G = jax.vmap(lambda a, b: fx_matmul(a, b, nw=2))((Vt,), (V,))
     G0 = G[0] - jnp.eye(V.shape[-1], dtype=V.dtype)  # exact near 1
     Gv = G0.astype(jnp.float64) + G[1].astype(jnp.float64)
     delta = jnp.sqrt(jnp.sum(Gv * Gv, axis=(-2, -1)))
@@ -1242,7 +1360,9 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
             xyc, pc = [], []
             for ki, k in enumerate(cl.classes):
                 xyc.append(_bmm(X[j][ki], Y[j][ki]))
-                if k.kind != "lowrank":
+                if k.kind != "lowrank" or cl.row_shard:
+                    # row-sharded clusters get their pairings (and the
+                    # trace diag) from the distributed Schur region below
                     pc.append(None)
                 elif k.use_pairs:
                     pc.append(_pairs_xy(k, Xinv[j][ki], Y[j][ki]))
@@ -1310,6 +1430,21 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
         # Schur complement per cluster + KKT decomposition (solver.jl:1229-1287)
         cholSs, LinvBs = [], []
         for j, cl in enumerate(ds.clusters):
+            if cl.row_shard:
+                # distributed row-panel Schur + chol(S) + L^-1 B
+                # (parallel/bigcluster.py; the reference's threaded
+                # whole-S^j GEMM/Cholesky, src/tools.jl:175-266)
+                L, LinvB, dgys, okb = _dist_schur_region(
+                    ds, cl, Xinv[j], Y[j], Xinv_s[j], Ys[j])
+                it_d = iter(dgys)
+                for ki, k in enumerate(cl.classes):
+                    if k.kind == "lowrank":
+                        panelsY[j][ki] = ("diag", next(it_d))
+                ok = ok & okb
+                ok_S = ok_S & okb
+                cholSs.append(L)
+                LinvBs.append(LinvB)
+                continue
             S = _schur_cluster(cl, Xinv[j], Y[j], Xinv_s[j], Ys[j],
                                panels=panels[j])
             L, okb = dl.b_cholesky(S)
@@ -1367,8 +1502,11 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
             # solves batch over the group's [J] axis
             temp_x, temp_y = [], []
             for j, cl in enumerate(ds.clusters):
-                tx = dl.b_solve_tril(cholSs[j],
-                                     tuple(c[:, :, None] for c in rhs_x[j]))
+                rhs3 = tuple(c[:, :, None] for c in rhs_x[j])
+                if cl.row_shard:
+                    tx = _dist_solve(ds, cl, cholSs[j], rhs3)
+                else:
+                    tx = dl.b_solve_tril(cholSs[j], rhs3)
                 ty = _bmm(dl.dd_transpose_b(LinvBs[j]), tx)     # [J, F, 1]
                 temp_x.append(tx)
                 temp_y.append(ty)
@@ -1381,7 +1519,10 @@ def make_step_body(ds: DeviceSDP, *, gamma: float, beta_feasible: float,
                 dyb = tuple(jnp.broadcast_to(c[None], (cl.J,) + c.shape)
                             for c in dy)
                 t = dd_add(temp_x[j], _bmm(LinvBs[j], dyb))
-                dxj = dl.b_solve_tril_t(cholSs[j], t)           # [J, P, 1]
+                if cl.row_shard:
+                    dxj = _dist_solve(ds, cl, cholSs[j], t, transpose=True)
+                else:
+                    dxj = dl.b_solve_tril_t(cholSs[j], t)       # [J, P, 1]
                 dx.append(tuple(c[:, :, 0] for c in dxj))
             dy = _col0(dy)
             # dX = sum_i dx_i A_i + P (solver.jl:1585-1594)

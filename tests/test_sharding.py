@@ -157,3 +157,55 @@ def test_mesh_divisor_padding_is_inert():
     step1 = make_step(ds1, **KW)
     _, info1 = step1(initial_state(ds1, 100.0, 100.0), False)
     _assert_info_close(info0, info1, tol=1e-13)
+
+
+# ---------------------------------------------------------------------------
+# row-panel sharding of ONE large cluster (VERDICT r4 item 3): the [P, P]
+# Schur assembly, chol(S), and the KKT solves distribute via shard_map
+# (parallel/bigcluster.py); each device holds [P/D, P] of S / chol(S)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_row_sharded_big_cluster_matches_single_device():
+    """delsarte(3,31)-shape: ONE cluster, P=64 rows, SOS classes + scalar
+    pack — the single-big-cluster case cluster-axis sharding cannot touch.
+    The row-sharded step must reproduce the single-device step."""
+    from clrs_tpu.parallel import enable_row_sharding, make_mesh
+
+    sdp = _delsarte_sdp(31)
+    ds0 = DeviceSDP(sdp)
+    assert ds0.clusters[0].J == 1 and ds0.clusters[0].nrows == 64
+    step0 = make_step(ds0, **KW)
+    s0, i0 = step0(initial_state(ds0, 100.0, 100.0), False)
+    s0, i0 = step0(s0, bool(i0["pd_feas"]))
+
+    ds1 = DeviceSDP(sdp)
+    mesh = make_mesh(8)
+    assert enable_row_sharding(ds1, mesh) == 1
+    step1 = make_step(ds1, **KW)
+    s1, i1 = step1(initial_state(ds1, 100.0, 100.0), False)
+    s1, i1 = step1(s1, bool(i1["pd_feas"]))
+    _assert_info_close(i0, i1, tol=1e-10)
+
+
+@pytest.mark.slow
+def test_row_sharded_f32_substrate_matches_single_device():
+    """The PRODUCTION TPU substrate (nw=5 f32 expansions, int8-limb GEMMs,
+    Pallas kernels under the interpreter) under the row-sharded mesh — the
+    round-4 blind spot: sharding had only ever executed on the f64 CPU
+    substrate (VERDICT r4 items 3+4)."""
+    import jax.numpy as jnp
+
+    from clrs_tpu.parallel import enable_row_sharding, make_mesh
+
+    sdp = _delsarte_sdp(15)   # P=32: small enough for interpreted Pallas
+    ds0 = DeviceSDP(sdp, nw=5, dtype=jnp.float32)
+    step0 = make_step(ds0, **KW)
+    s0, i0 = step0(initial_state(ds0, 100.0, 100.0), False)
+
+    ds1 = DeviceSDP(sdp, nw=5, dtype=jnp.float32)
+    mesh = make_mesh(4)       # P=32 -> 8 rows/device
+    assert enable_row_sharding(ds1, mesh) == 1
+    step1 = make_step(ds1, **KW)
+    s1, i1 = step1(initial_state(ds1, 100.0, 100.0), False)
+    _assert_info_close(i0, i1, tol=1e-8)
