@@ -45,9 +45,24 @@ MAX_K_EXACT = 1 << 13
 
 # pl_cascade_tiles holds the whole int8-GEMM output C [L*m, L*n] in one
 # kernel instance; Mosaic's scoped-vmem stack limit is 16 MiB, so past this
-# C-size budget fx_matmul falls back to segment_sum + pl_cascade (where the
-# scatter cost is amortized by real bandwidth anyway)
+# C-size budget fx_matmul routes to the grid-tiled / fused kernels. The
+# budget counts C alone: the (nw+2)-word f32 accumulator and eab add
+# (nw+3)/L^2 relative — < 2% at the production L = 21..31 — inside the
+# 16 MiB / 6 MiB headroom (ADVICE r4 #1).
 _PLCASCADE_C_BUDGET = 6 << 20
+
+
+def _extract_fp(L, nw, m, k):
+    """VMEM footprint (bytes) of one pl_extract instance: the int32 limb
+    output [L, m, k], the nw f32 input words, and the ~(nw + 2)-word
+    sweep temporaries (ADVICE r4 #1: count everything, not just the
+    largest array)."""
+    return (L + 2 * nw + 2) * m * k * 4
+
+
+# pl_extract instances must stay within Mosaic's 16 MiB scoped vmem with
+# headroom for the compiler's own temporaries
+_PLEXTRACT_BUDGET = 12 << 20
 
 
 def _ceil_div(a: int, b: int) -> int:
@@ -238,7 +253,7 @@ def fx_matmul(a, b, nw=None, pre_a=None, pre_b=None):
             if _MAC_COUNTER is not None:
                 _count_macs(L, ndiag, m, n, k, fused=True)
             if pre_a is None:
-                if use_plx:
+                if use_plx and _extract_fp(L, nw, m, k) <= _PLEXTRACT_BUDGET:
                     la3, ea = pl_extract(a, L, "a3", LIMB_BITS)
                     A3 = la3.astype(jnp.int8)
                 else:
@@ -248,7 +263,7 @@ def fx_matmul(a, b, nw=None, pre_a=None, pre_b=None):
             else:
                 A3, ea = pre_a
             if pre_b is None:
-                if use_plx:
+                if use_plx and _extract_fp(L, nw, k, n) <= _PLEXTRACT_BUDGET:
                     lb3, eb = pl_extract(b, L, "b3", LIMB_BITS)
                     B3 = lb3.astype(jnp.int8)
                 else:
@@ -262,7 +277,7 @@ def fx_matmul(a, b, nw=None, pre_a=None, pre_b=None):
                                       ndiag, _PLCASCADE_C_BUDGET)
 
     if pre_a is None:
-        if use_plx and L * m * k * 4 <= _PLCASCADE_C_BUDGET:
+        if use_plx and _extract_fp(L, nw, m, k) <= _PLEXTRACT_BUDGET:
             # scaling + extraction + A-layout as ONE Pallas kernel
             la2, ea = pl_extract(a, L, "a", LIMB_BITS)   # (L*M, K) int32
             A = la2.astype(jnp.int8)
@@ -275,7 +290,7 @@ def fx_matmul(a, b, nw=None, pre_a=None, pre_b=None):
         assert la.shape[0] == L, (la.shape, L)
         A = la.reshape(L * m, k)
     if pre_b is None:
-        if use_plx and L * k * n * 4 <= _PLCASCADE_C_BUDGET:
+        if use_plx and _extract_fp(L, nw, k, n) <= _PLEXTRACT_BUDGET:
             lb2, eb = pl_extract(b, L, "b", LIMB_BITS)   # (K, L*N) int32
             B = lb2.astype(jnp.int8)
         else:
@@ -310,8 +325,12 @@ def fx_matmul(a, b, nw=None, pre_a=None, pre_b=None):
             return pl_cascade_tiles(C, eab_b, nw, LIMB_BITS, L, m, n, ndiag)
         from .pallas_linalg import pl_cascade_tiles_grid
 
-        return pl_cascade_tiles_grid(C, eab_b, nw, LIMB_BITS, L, m, n,
-                                     ndiag, _PLCASCADE_C_BUDGET)
+        out = pl_cascade_tiles_grid(C, eab_b, nw, LIMB_BITS, L, m, n,
+                                    ndiag, _PLCASCADE_C_BUDGET)
+        if out is not None:
+            return out
+        # degenerate budget (tests) or L too large for any Mosaic-legal
+        # tiling: the plain XLA cascade below handles any shape
 
     # per-diagonal int32 sums D[d] = sum_{ta+tb=d} tile(ta,tb): exact
     # (<= L tiles of <= K products <= 2^13 each)

@@ -464,11 +464,13 @@ def _cascade_tiles_grid_call(nw, L, ndiag, Mp, Np, tm, tn, limb_bits):
 
 
 def _grid_tile_sizes(L, budget):
-    """Largest power-of-two (tm, tn) with the C block L*tm*L*tn int32
-    within ``budget`` bytes (tn gets the lanes-friendly larger share)."""
-    tm, tn = 8, 128
-    while L * L * tm * tn * 4 > budget and tn > 8:
-        tn //= 2
+    """(tm, tn) with the C block L*tm*L*tn int32 within ``budget`` bytes.
+    Mosaic requires the LANE dim of a block to be 128-divisible (or equal
+    the whole array dim), so tn is pinned at 128 and only tm (dim -3 of
+    the 4-D block — unconstrained) adapts."""
+    tm, tn = 8, 128            # tm is also the eab sublane dim: >= 8
+    if L * L * tm * tn * 4 > budget:
+        return None
     while L * L * (tm * 2) * tn * 4 <= budget and tm < 128:
         tm *= 2
     return tm, tn
@@ -478,7 +480,10 @@ def pl_cascade_tiles_grid(C, eab, nw, limb_bits, L, m, n, ndiag, budget):
     """Grid-tiled diagonal-sums + cascade for GEMM outputs of ANY size;
     see :func:`_cascade_tiles_grid_call`. Pads (m, n) up to tile multiples
     in XLA (the padded area cascades zeros, sliced off afterwards)."""
-    tm, tn = _grid_tile_sizes(L, budget)
+    tms = _grid_tile_sizes(L, budget)
+    if tms is None:
+        return None
+    tm, tn = tms
     Mp = -(-m // tm) * tm
     Np = -(-n // tn) * tn
     C4 = C.reshape(L, m, L, n)
@@ -544,16 +549,14 @@ def _limb_gemm_fused_call(nw, L, ndiag, Mp, Np, k, tm, tn, limb_bits):
 
 
 def _fused_tile_sizes(m, n, L, k, budget):
-    """(tm, tn) powers of two with the A/B/acc VMEM footprint within
-    ``budget``; None when no workable tiling exists (huge k)."""
-    def pow2_at_most(v, cap):
-        t = 8
-        while t * 2 <= min(v, cap):
-            t *= 2
-        return t
-
-    tn = pow2_at_most(max(n, 8), 128)
-    tm = pow2_at_most(max(m, 8), 128)
+    """(tm, tn) with the A/B/acc VMEM footprint within ``budget``; None
+    when no workable tiling exists (huge k). Mosaic lane-dim rule: tn must
+    be 128-divisible OR equal the (unpadded) array dim n; the sublane dim
+    tm must be 8-divisible or equal m."""
+    tn = 128 if n >= 128 else n
+    tm = 8 if m >= 8 else m
+    while tm >= 8 and tm * 2 <= min(128, m):    # powers of two: 8-divisible
+        tm *= 2
 
     def fp(tm, tn):
         # A block int8 + B block int8 + (nw+2<=10)-word f32 acc + int32 D
@@ -561,8 +564,6 @@ def _fused_tile_sizes(m, n, L, k, budget):
 
     while fp(tm, tn) > budget and tm > 8:
         tm //= 2
-    while fp(tm, tn) > budget and tn > 8:
-        tn //= 2
     return (tm, tn) if fp(tm, tn) <= budget else None
 
 

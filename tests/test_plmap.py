@@ -271,3 +271,45 @@ def test_pl_limb_gemm_fused_bit_identical_to_xla():
         assert np.array_equal(np.asarray(c0), np.asarray(c1))
     for c0, c1 in zip(p0, p1):
         assert np.array_equal(np.asarray(c0), np.asarray(c1))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="validates the Mosaic HARDWARE lowering")
+def test_fx_matmul_on_chip_matches_xla_path():
+    """ON-TPU bit-identity of the full Pallas route (extract + fused /
+    cascade kernels, REAL Mosaic lowering — lax.round TO_NEAREST_EVEN and
+    the bitcast pow2 construction on hardware) against the forced-XLA
+    path on the same chip (ADVICE r4 #3: the interpreter tests validate
+    the kernel algebra, not the lowering)."""
+    from clrs_tpu.dd import limb_gemm as lg
+
+    rng = np.random.default_rng(21)
+
+    def mkw(vals, nw=5):
+        h = np.asarray(vals, np.float64)
+        ws = []
+        for _ in range(nw):
+            w = h.astype(np.float32)
+            ws.append(jnp.asarray(w))
+            h = h - w.astype(np.float64)
+        return tuple(ws)
+
+    A = mkw(rng.standard_normal((24, 16))
+            * 10.0 ** rng.integers(-6, 6, (24, 16)))
+    B = mkw(rng.standard_normal((16, 24)))
+    olds = (lg._USE_PLCASCADE, lg._USE_PLEXTRACT, lg._USE_PLFUSED,
+            lg._PLCASCADE_C_BUDGET)
+    try:
+        lg._USE_PLCASCADE = lg._USE_PLEXTRACT = lg._USE_PLFUSED = False
+        r_xla = jax.jit(lambda a, b: lg.fx_matmul(a, b))(A, B)
+        lg._USE_PLCASCADE = lg._USE_PLEXTRACT = lg._USE_PLFUSED = True
+        r_pl = jax.jit(lambda a, b: lg.fx_matmul(a, b))(A, B)
+        lg._PLCASCADE_C_BUDGET = 0          # now force the fused kernel
+        r_fu = jax.jit(lambda a, b: lg.fx_matmul(a, b))(A, B)
+    finally:
+        (lg._USE_PLCASCADE, lg._USE_PLEXTRACT, lg._USE_PLFUSED,
+         lg._PLCASCADE_C_BUDGET) = olds
+    for c0, c1 in zip(r_xla, r_pl):
+        assert np.array_equal(np.asarray(c0), np.asarray(c1))
+    for c0, c1 in zip(r_xla, r_fu):
+        assert np.array_equal(np.asarray(c0), np.asarray(c1))

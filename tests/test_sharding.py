@@ -209,3 +209,30 @@ def test_row_sharded_f32_substrate_matches_single_device():
     step1 = make_step(ds1, **KW)
     s1, i1 = step1(initial_state(ds1, 100.0, 100.0), False)
     _assert_info_close(i0, i1, tol=1e-8)
+
+
+@pytest.mark.slow
+def test_cluster_axis_sharded_f32_substrate():
+    """Cluster-axis [J] sharding on the PRODUCTION f32 substrate (nw=5
+    expansions + int8-limb GEMMs + interpreted Pallas kernels): GSPMD and
+    the Pallas custom calls must compose — the remaining half of the
+    round-4 f32-sharding blind spot (the row-panel half is covered by
+    test_row_sharded_f32_substrate_matches_single_device)."""
+    import jax.numpy as jnp
+
+    from clrs_tpu.parallel import (make_mesh, multi_cluster_test_problem,
+                                   shard_device_sdp, shard_state)
+
+    sdp = ClusteredLowRankSDP(multi_cluster_test_problem(n_clusters=4,
+                                                         n_blocks=2))
+    ds0 = DeviceSDP(sdp, nw=5, dtype=jnp.float32)
+    step0 = make_step(ds0, **KW)
+    s0, i0 = step0(initial_state(ds0, 100.0, 100.0), False)
+
+    mesh = make_mesh(4)
+    ds1 = DeviceSDP(sdp, nw=5, dtype=jnp.float32, mesh_divisor=4)
+    assert shard_device_sdp(ds1, mesh) >= 1
+    step1 = make_step(ds1, **KW)
+    state = shard_state(ds1, initial_state(ds1, 100.0, 100.0), mesh)
+    s1, i1 = step1(state, False)
+    _assert_info_close(i0, i1, tol=1e-8)

@@ -13,6 +13,7 @@ Usage:
     python tools/prime_cache.py                 # tiny default workload
     python tools/prime_cache.py --tier d10      # delsarte(3,10), bench shape
     python tools/prime_cache.py --tier d127     # Schur-dominated bench shape
+    python tools/prime_cache.py --tier hi       # nw=8 high-precision tier
     python tools/prime_cache.py --tier all
 
 Run it once per machine/backend; every later solvesdp with the same
@@ -64,7 +65,7 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--tier", default="tiny",
-                   choices=["tiny", "d10", "d127", "all"])
+                   choices=["tiny", "d10", "d127", "hi", "all"])
     args = p.parse_args()
 
     tiers = {
@@ -76,12 +77,18 @@ def main():
                  lambda: delsarte_problem(3, 10, Fraction(1, 2)))],
         "d127": [("delsarte(3,127)",
                   lambda: delsarte_problem(3, 127, Fraction(1, 2)))],
+        # the hi tier (~192-bit f32x8 on TPU / ~265-bit f64x5 on CPU):
+        # what a reference user at prec=256 is auto-routed to
+        "hi": [("delsarte(3,10) nw=8",
+                lambda: delsarte_problem(3, 10, Fraction(1, 2)), 8)],
     }
-    todo = (tiers["tiny"] + tiers["d10"] + tiers["d127"]
+    todo = (tiers["tiny"] + tiers["d10"] + tiers["d127"] + tiers["hi"]
             if args.tier == "all" else tiers[args.tier])
-    for name, build in todo:
+    for entry in todo:
+        name, build = entry[0], entry[1]
+        nw = entry[2] if len(entry) > 2 else None
         t0 = time.time()
-        _prime(build())
+        _prime(build(), nw=nw)
         print(f"primed {name}: {time.time() - t0:.1f}s "
               f"(backend={jax.default_backend()})")
 
