@@ -145,8 +145,16 @@ def solvesdp(problem, *, prec=None, maxiterations=500,
         np.prod([mesh.shape[a] for a in mesh.axis_names]))
     ds = DeviceSDP(sdp, nw=nw, dtype=dtype, mesh_divisor=mesh_div)
     if mesh is not None:
-        from ..parallel.api import shard_device_sdp
-        shard_device_sdp(ds, mesh, axis=mesh.axis_names[0])
+        from ..parallel.api import enable_row_sharding, shard_device_sdp
+
+        # single big clusters distribute by row panels (shard_map,
+        # parallel/bigcluster.py); the remaining axes shard via GSPMD.
+        n_rows = enable_row_sharding(ds, mesh, axis=mesh.axis_names[0])
+        try:
+            shard_device_sdp(ds, mesh, axis=mesh.axis_names[0])
+        except ValueError:
+            if n_rows == 0:     # nothing sharded at all: keep the loud
+                raise           # failure (no silent replication)
     if sync_every is None:
         sync_every = 8 if jax.default_backend() == "tpu" else 1
     step_kw = dict(gamma=gamma, beta_feasible=beta_feasible,
