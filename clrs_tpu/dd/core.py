@@ -175,10 +175,29 @@ def _renorm_scan(cs, nw, sweeps, presort=False):
 _UNROLL_MAX_OPS = 80
 
 
-def _unroll_renorms():
+def on_tpu():
+    """True when jitted computations will LOWER to a real TPU.
+
+    Every backend gate in the package must use this, not
+    ``jax.default_backend()`` alone: the axon TPU plugin ignores
+    JAX_PLATFORMS (tests/conftest.py), so the driver's virtual-CPU-mesh
+    dryrun runs in a process whose default backend is "tpu" while a
+    ``jax.default_device(cpu)`` override points every computation at CPU —
+    there the TPU-variant graphs (unrolled expansions, Mosaic kernels)
+    either fail to lower or compile pathologically slowly under LLVM."""
     import jax
 
-    return jax.default_backend() == "tpu"
+    if jax.default_backend() != "tpu":
+        return False
+    dev = jax.config.jax_default_device
+    if dev is None:
+        return True
+    platform = dev if isinstance(dev, str) else getattr(dev, "platform", "tpu")
+    return platform == "tpu"
+
+
+def _unroll_renorms():
+    return on_tpu()
 
 
 def _renorm(cs, nw, sweeps=3, presort=False):
@@ -436,7 +455,7 @@ def _route_expops(x):
     import jax
 
     return (len(x) > 2 and _is_f32(x) and _is_jax(x[0])
-            and jax.default_backend() == "tpu")
+            and on_tpu())
 
 
 def dd_add(x, y):

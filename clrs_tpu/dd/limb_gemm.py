@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .core import _bar, _vec_sum, two_sum
+from .core import _bar, _vec_sum, on_tpu, two_sum
 
 LIMB_BITS = 7
 _MAGIC32 = np.float32(1.5 * 2.0 ** 23)  # round-to-nearest-integer for f32
@@ -109,7 +109,7 @@ def _unroll():
     overhead (the dominant cost for these tiny-tensor loops), so unroll the
     fixed-length loops into flat op chains there; CPU keeps the rolled form
     (compiles and runs better under LLVM)."""
-    return jax.default_backend() == "tpu"
+    return on_tpu()
 
 
 # test override: force (True) / disable (False) the Pallas cascade kernel
@@ -120,7 +120,7 @@ _USE_PLCASCADE = None
 def _use_plcascade():
     if _USE_PLCASCADE is not None:
         return _USE_PLCASCADE
-    return jax.default_backend() == "tpu"
+    return on_tpu()
 
 
 # test override: force (True) / disable (False) the Pallas limb-extraction
@@ -131,7 +131,7 @@ _USE_PLEXTRACT = None
 def _use_plextract():
     if _USE_PLEXTRACT is not None:
         return _USE_PLEXTRACT
-    return jax.default_backend() == "tpu"
+    return on_tpu()
 
 
 # test override: force (True) / disable (False) the FUSED limb-GEMM kernel
@@ -143,7 +143,7 @@ _USE_PLFUSED = None
 def _use_plfused():
     if _USE_PLFUSED is not None:
         return _USE_PLFUSED
-    return jax.default_backend() == "tpu"
+    return on_tpu()
 
 
 # When set to a list, every fx_matmul call site appends its int8 MXU op

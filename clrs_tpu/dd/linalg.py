@@ -26,6 +26,7 @@ from jax import lax
 
 from .core import (
     dd_add,
+    on_tpu,
     dd_div,
     dd_mul,
     dd_rsqrt,
@@ -170,7 +171,7 @@ def dd_matmul(a, b):
 
         return fx_matmul(a, b)
 
-    if jax.default_backend() != "tpu":
+    if not on_tpu():
         from .slice_gemm import slice_matmul
 
         return slice_matmul(a, b)
@@ -442,13 +443,22 @@ def _b_solve_tril_t_blocked(l, b, nb=None):
     return x
 
 
+# test override: force (True) / disable (False) the Pallas factorization
+# kernels — forcing on CPU runs them under the Pallas interpreter (e.g. to
+# test that GSPMD sharding composes with the Pallas custom calls off-chip)
+_USE_PALLAS_LINALG = None
+
+
 def _pallas_route(x):
     """True when the batched Pallas kernels apply: f32 expansion words on
     the real TPU, [L, n, n] operands with n >= 2 (1x1 blocks and CPU runs
     keep the plain vmapped loop; off-TPU the kernels would run under the
     slow Pallas interpreter)."""
-    return (wdtype(x) == jnp.float32 and jax.default_backend() == "tpu"
-            and x[0].ndim == 3 and x[0].shape[-1] >= 2)
+    shape_ok = (wdtype(x) == jnp.float32
+                and x[0].ndim == 3 and x[0].shape[-1] >= 2)
+    if _USE_PALLAS_LINALG is not None:
+        return _USE_PALLAS_LINALG and shape_ok
+    return shape_ok and on_tpu()
 
 
 def b_cholesky(a):

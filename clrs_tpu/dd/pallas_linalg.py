@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import expops as E
+from .core import on_tpu
 
 __all__ = ["pl_cholesky_b", "pl_solve_tril_b", "pl_solve_tril_t_b",
            "stack_words", "unstack_words"]
@@ -82,10 +83,29 @@ def _exp_sum_axis0(ws, lo, hi):
 
 
 def _interpret():
-    return jax.default_backend() != "tpu"
+    """True when the kernel being built will lower to a non-TPU backend
+    (including a ``jax.default_device(cpu)`` override on a TPU host — the
+    driver's virtual-CPU-mesh dryrun; see core.on_tpu)."""
+    return not on_tpu()
 
 
-@functools.lru_cache(maxsize=None)
+def _kernel_cache(fn):
+    """Per-constructor cache keyed on the args AND the interpret mode, so
+    one process can build both the Mosaic and the interpreted variant of a
+    kernel (the dryrun traces CPU-mesh steps on a TPU host)."""
+    cache = {}
+
+    @functools.wraps(fn)
+    def wrapper(*args):
+        key = args + (_interpret(),)
+        if key not in cache:
+            cache[key] = fn(*args)
+        return cache[key]
+
+    return wrapper
+
+
+@_kernel_cache
 def _chol_call(nw, n, L):
     def kernel(a_ref, l_ref, ok_ref):
         rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
@@ -165,7 +185,7 @@ def _dinv_of(lw, n, nw):
     return E.exp_div(one, diag)
 
 
-@functools.lru_cache(maxsize=None)
+@_kernel_cache
 def _tril_call(nw, n, m, L):
     def kernel(l_ref, b_ref, x_ref):
         rowsb = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
@@ -219,7 +239,7 @@ def pl_solve_tril_b(l, b):
     return unstack_words(out)
 
 
-@functools.lru_cache(maxsize=None)
+@_kernel_cache
 def _tril_t_call(nw, n, m, L):
     def kernel(l_ref, b_ref, x_ref):
         rowsb = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
@@ -333,7 +353,7 @@ def _cascade_out(acc, nw, out_ref):
         out_ref[0, w] = out[w]
 
 
-@functools.lru_cache(maxsize=None)
+@_kernel_cache
 def _cascade_call(nw, ndiag, m, n, limb_bits):
     """Pallas kernel: the fx_matmul diagonal cascade (limb_gemm.py:176-209)
     as ONE kernel — the unrolled XLA form costs ~ndiag*25 whole-tensor ops
@@ -374,7 +394,7 @@ def pl_cascade(diags, eab, nw, limb_bits):
     return tuple(out[0, w] for w in range(nw))
 
 
-@functools.lru_cache(maxsize=None)
+@_kernel_cache
 def _cascade_tiles_call(nw, L, ndiag, m, n, limb_bits):
     """Diagonal tile summation + cascade as ONE kernel, consuming the raw
     int8-GEMM output C [L*m, L*n] directly.
@@ -424,7 +444,7 @@ def pl_cascade_tiles(C, eab, nw, limb_bits, L, m, n, ndiag):
     return tuple(out[0, w] for w in range(nw))
 
 
-@functools.lru_cache(maxsize=None)
+@_kernel_cache
 def _cascade_tiles_grid_call(nw, L, ndiag, Mp, Np, tm, tn, limb_bits):
     """Grid-tiled variant of :func:`_cascade_tiles_call`: the int8-GEMM
     output C (reshaped [L, Mp, L, Np]) streams through VMEM in
@@ -495,7 +515,7 @@ def pl_cascade_tiles_grid(C, eab, nw, limb_bits, L, m, n, ndiag, budget):
     return tuple(out[0, w, :m, :n] for w in range(nw))
 
 
-@functools.lru_cache(maxsize=None)
+@_kernel_cache
 def _limb_gemm_fused_call(nw, L, ndiag, Mp, Np, k, tm, tn, limb_bits):
     """FUSED limb GEMM: the int8 MXU dots AND the diagonal cascade run in
     ONE kernel per output tile, so the [L*m, L*n] int32 GEMM output (L^2 =
@@ -589,7 +609,7 @@ def pl_limb_gemm_fused(a3, b3, eab, nw, limb_bits, L, ndiag, budget):
     return tuple(out[w, :m, :n] for w in range(nw))
 
 
-@functools.lru_cache(maxsize=None)
+@_kernel_cache
 def _extract_call(nw, Llimb, d0, d1, limb_bits, side):
     """Pallas kernel: per-row (side 'a') / per-column (side 'b') exponent
     scaling + Llimb-limb extraction of an f32 expansion, emitting limbs

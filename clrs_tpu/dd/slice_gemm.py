@@ -36,7 +36,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .core import _bar, _renorm, _vec_sum
+from .core import _bar, _renorm, _vec_sum, on_tpu
 
 _MAGIC = 1.5 * 2.0 ** 52  # round-to-nearest-integer magic constant
 
@@ -46,7 +46,7 @@ def _ceil_log2(n: int) -> int:
 
 
 def _on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
+    return on_tpu()
 
 
 def _pow2_f32bits(e):

@@ -20,6 +20,7 @@ from ..model.problem import Block, Problem
 from ..utils.hp import DDScalar
 from .status import (DualFeasible, DualSolution, Feasible, NearOptimal,
                      NotConverged, Optimal, PrimalFeasible, PrimalSolution)
+from ..dd.core import on_tpu
 from .step import DeviceSDP, initial_state, make_assess, make_step
 
 __all__ = ["solvesdp", "SolverFailure", "SaveSettings"]
@@ -101,8 +102,8 @@ def solvesdp(problem, *, prec=None, maxiterations=500,
     import jax.numpy as jnp
 
     if substrate is None:
-        substrate = "f32" if jax.default_backend() == "tpu" else "f64"
-    elif substrate == "f64" and jax.default_backend() == "tpu":
+        substrate = "f32" if on_tpu() else "f64"
+    elif substrate == "f64" and on_tpu():
         import warnings
 
         warnings.warn(
@@ -156,7 +157,7 @@ def solvesdp(problem, *, prec=None, maxiterations=500,
             if n_rows == 0:     # nothing sharded at all: keep the loud
                 raise           # failure (no silent replication)
     if sync_every is None:
-        sync_every = 8 if jax.default_backend() == "tpu" else 1
+        sync_every = 8 if on_tpu() else 1
     step_kw = dict(gamma=gamma, beta_feasible=beta_feasible,
                    beta_infeasible=beta_infeasible,
                    dual_error_threshold=dual_error_threshold,

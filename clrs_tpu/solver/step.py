@@ -45,7 +45,7 @@ from jax import lax
 
 from ..compile.sdp import ClusteredLowRankSDP
 from ..dd import linalg as dl
-from ..dd.core import dd_add, dd_div, dd_mul, dd_neg, dd_sub
+from ..dd.core import dd_add, dd_div, dd_mul, dd_neg, dd_sub, on_tpu
 from ..dd.expops import two_prod
 
 __all__ = ["DeviceSDP", "make_step", "make_step_body", "make_run_chunk",
@@ -1090,7 +1090,7 @@ _STEPLEN_VERIFIED = None
 def _use_verified_eig():
     if _STEPLEN_VERIFIED is not None:
         return _STEPLEN_VERIFIED
-    return jax.default_backend() == "tpu"
+    return on_tpu()
 
 
 def _eig_lo_verified(W2):
@@ -1153,7 +1153,7 @@ def _eig_lo_bound(W2, eig_safety):
     for c in W2[1:]:
         A64 = A64 + c.astype(jnp.float64)
     A64 = 0.5 * (A64 + jnp.swapaxes(A64, -1, -2))
-    if jax.default_backend() == "tpu":
+    if on_tpu():
         # f64 words on TPU = the (warned) unsound-emulation path; no f64
         # LAPACK there, so fall back to f32 eigvalsh + a blanket margin
         eigs = jnp.linalg.eigvalsh(
@@ -1226,7 +1226,7 @@ def _use_plmap(dt):
     in exactly this branch, which no CPU test could reach)."""
     if _USE_PLMAP is not None:
         return _USE_PLMAP and dt == jnp.float32
-    return dt == jnp.float32 and jax.default_backend() == "tpu"
+    return dt == jnp.float32 and on_tpu()
 
 
 def _bcast_words(ws, L, nw=None):

@@ -282,3 +282,37 @@ def test_sharded_solvesdp_end_to_end_row_panels():
     v0 = float(objvalue(problem, p0))
     v1 = float(objvalue(problem, p1))
     assert abs(v0 - v1) < 1e-9 * max(1.0, abs(v0))
+
+
+@pytest.mark.slow
+def test_row_sharded_f32_with_interpreted_pallas_kernels():
+    """GSPMD sharding composed with the Pallas custom calls OFF-chip: the
+    row-sharded f32 step with the Pallas factorization + cascade +
+    extraction kernels FORCED on (they run under the interpreter on CPU,
+    real Mosaic on TPU), asserted equal to the unforced single-device
+    step. Before this test the Pallas x mesh composition was only ever
+    executed on the real chip."""
+    import jax.numpy as jnp
+
+    from clrs_tpu.dd import limb_gemm as lg
+    from clrs_tpu.dd import linalg as dl
+    from clrs_tpu.parallel import enable_row_sharding, make_mesh
+
+    sdp = _delsarte_sdp(7)    # one cluster, P=16: interpreter-sized
+    ds0 = DeviceSDP(sdp, nw=5, dtype=jnp.float32)
+    step0 = make_step(ds0, **KW)
+    s0, i0 = step0(initial_state(ds0, 100.0, 100.0), False)
+
+    old = (dl._USE_PALLAS_LINALG, lg._USE_PLCASCADE, lg._USE_PLEXTRACT)
+    try:
+        dl._USE_PALLAS_LINALG = True
+        lg._USE_PLCASCADE = True
+        lg._USE_PLEXTRACT = True
+        ds1 = DeviceSDP(sdp, nw=5, dtype=jnp.float32)
+        mesh = make_mesh(2)   # P=16 -> 8 rows/device, the eligibility floor
+        assert enable_row_sharding(ds1, mesh) == 1
+        step1 = make_step(ds1, **KW)
+        s1, i1 = step1(initial_state(ds1, 100.0, 100.0), False)
+    finally:
+        dl._USE_PALLAS_LINALG, lg._USE_PLCASCADE, lg._USE_PLEXTRACT = old
+    _assert_info_close(i0, i1, tol=1e-8)
